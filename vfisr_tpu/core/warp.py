@@ -1,0 +1,75 @@
+"""Backward warping (cv2.remap equivalent) as gather-based JAX kernels.
+
+The reference warps frames by optical flow via ``cv2.remap(img, x+u, y+v,
+INTER_LINEAR)`` with the default BORDER_CONSTANT=0 (reference
+models/traditional/baselines.py:217-228, scripts/run_experiments.py:420-444,
+560-593). Here the warp is a batched bilinear gather over NHWC tensors —
+four clamped `take`s blended by fractional weights, with an in-bounds mask
+reproducing the zero border. XLA lowers this to vectorized dynamic-gathers;
+for the fused warp+blend hot path see ops/pallas.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_hw(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """img [N,H,W,C], iy/ix [N,h,w] int32 → [N,h,w,C] (indices must be in range)."""
+    n, h, w, c = img.shape
+    flat = img.reshape(n, h * w, c)
+    lin = iy * w + ix
+    return jnp.take_along_axis(flat, lin.reshape(n, -1, 1), axis=1).reshape(
+        n, iy.shape[1], iy.shape[2], c
+    )
+
+
+def remap_bilinear(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray) -> jnp.ndarray:
+    """cv2.remap(img, map_x, map_y, INTER_LINEAR, BORDER_CONSTANT=0) analog.
+
+    img: [N, H, W, C] float; map_x/map_y: [N, H', W'] absolute source coords.
+    Out-of-range samples contribute 0 (per-corner masking, matching OpenCV's
+    constant border as each of the four taps falls outside).
+    """
+    n, h, w, c = img.shape
+    x0 = jnp.floor(map_x)
+    y0 = jnp.floor(map_y)
+    fx = (map_x - x0)[..., None]
+    fy = (map_y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        v = _gather_hw(img, yc, xc)
+        return v * valid[..., None].astype(img.dtype)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _base_grid(n: int, h: int, w: int, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    ys = jax.lax.broadcasted_iota(dtype, (n, h, w), 1)
+    xs = jax.lax.broadcasted_iota(dtype, (n, h, w), 2)
+    return ys, xs
+
+
+def flow_warp(img: jnp.ndarray, flow: jnp.ndarray, t: float | jnp.ndarray = 1.0) -> jnp.ndarray:
+    """Backward-warp img by ``t × flow``.
+
+    img: [N, H, W, C]; flow: [N, H, W, 2] with (u, v) = (dx, dy), the
+    cv2.calcOpticalFlowFarneback channel order. Sample position is
+    (x + t·u, y + t·v) — identical to the reference's
+    ``cv2.remap(prev, x + flow[...,0]*t, y + flow[...,1]*t)`` pattern.
+    """
+    n, h, w, _ = img.shape
+    ys, xs = _base_grid(n, h, w, img.dtype)
+    return remap_bilinear(img, xs + flow[..., 0] * t, ys + flow[..., 1] * t)
