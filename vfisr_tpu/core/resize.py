@@ -121,7 +121,9 @@ def _apply_axis(x: jnp.ndarray, idx: np.ndarray, w: np.ndarray, axis: int) -> jn
     in_sub = letters[: x.ndim + 1]
     o, k = in_sub[axis], in_sub[axis + 1]
     out_sub = in_sub.replace(k, "")
-    return jnp.einsum(f"{in_sub},{o}{k}->{out_sub}", taps, wj)
+    return jnp.einsum(
+        f"{in_sub},{o}{k}->{out_sub}", taps, wj, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "method"))

@@ -1,0 +1,151 @@
+"""Separable/depthwise 2-D filtering with OpenCV-compatible kernels.
+
+OpenCV equivalents used by the reference: ``cv2.GaussianBlur`` (edge_enhance,
+run_experiments.py:351-356), ``cv2.Sobel``/``cv2.Laplacian``
+(evaluation/metrics.py:552-553, adaptive_pipeline.py:163-191), ``cv2.blur``
+(Farneback's box accumulation). Border handling follows cv2's default
+BORDER_REFLECT_101, which equals ``jnp.pad(mode="reflect")``.
+
+All functions operate on [..., H, W, C] float arrays (batched NHWC), with
+depthwise convolution lowered via ``lax.conv_general_dilated`` so XLA maps
+the taps onto the VPU/MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_kernel1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """cv2.getGaussianKernel parity.
+
+    - sigma <= 0 → cv2's automatic sigma: 0.3*((ksize-1)*0.5 - 1) + 0.8
+    - For ksize <= 7 and sigma <= 0, cv2 uses fixed small integer kernels;
+      those coincide with the formula-derived kernels to float precision.
+    """
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def auto_gaussian_ksize(sigma: float, uint8_input: bool = False) -> int:
+    """cv2.GaussianBlur with ksize=(0,0): ksize = round(sigma*F*2+1) | 1,
+    where F = 3 for CV_8U inputs and 4 for float inputs."""
+    factor = 3 if uint8_input else 4
+    k = int(round(sigma * factor * 2 + 1)) | 1
+    return max(k, 1)
+
+
+def _ensure_nhwc(x: jnp.ndarray):
+    squeeze = []
+    if x.ndim == 2:
+        x = x[None, ..., None]
+        squeeze = [0, -1]
+    elif x.ndim == 3:
+        x = x[None]
+        squeeze = [0]
+    return x, squeeze
+
+
+def _restore(x: jnp.ndarray, squeeze) -> jnp.ndarray:
+    if 0 in squeeze:
+        x = x[0]
+    if -1 in squeeze:
+        x = x[..., 0]
+    return x
+
+
+def _depthwise_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """x [N,H,W,C], kernel [kh,kw] → VALID depthwise correlation."""
+    c = x.shape[-1]
+    kh, kw = kernel.shape
+    k = jnp.broadcast_to(kernel[:, :, None, None], (kh, kw, 1, c)).astype(x.dtype)
+    # precision='highest' keeps f32 taps exact — the default here truncates
+    # operands to bf16, which breaks cv2 parity for metric kernels.
+    return jax.lax.conv_general_dilated(
+        x,
+        k,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _pad_reflect(x: jnp.ndarray, ph: int, pw: int, mode: str) -> jnp.ndarray:
+    pads = [(0, 0), (ph, ph), (pw, pw), (0, 0)]
+    if mode == "reflect":  # BORDER_REFLECT_101
+        return jnp.pad(x, pads, mode="reflect")
+    if mode == "replicate":
+        return jnp.pad(x, pads, mode="edge")
+    if mode == "constant":
+        return jnp.pad(x, pads, mode="constant")
+    raise ValueError(f"unknown border mode {mode!r}")
+
+
+def filter2d(x: jnp.ndarray, kernel: np.ndarray, border: str = "reflect") -> jnp.ndarray:
+    """Dense 2-D correlation (cv2.filter2D semantics, no kernel flip)."""
+    x, squeeze = _ensure_nhwc(x)
+    kh, kw = kernel.shape
+    xp = _pad_reflect(x, kh // 2, kw // 2, border)
+    out = _depthwise_conv(xp, jnp.asarray(kernel))
+    return _restore(out, squeeze)
+
+
+def sep_filter2d(
+    x: jnp.ndarray, krow: np.ndarray, kcol: np.ndarray, border: str = "reflect"
+) -> jnp.ndarray:
+    """Separable correlation: kcol applied along H, krow along W (cv2.sepFilter2D)."""
+    x, squeeze = _ensure_nhwc(x)
+    kc = np.asarray(kcol).reshape(-1, 1)
+    kr = np.asarray(krow).reshape(1, -1)
+    xp = _pad_reflect(x, kc.shape[0] // 2, 0, border)
+    out = _depthwise_conv(xp, jnp.asarray(kc))
+    out = _pad_reflect(out, 0, kr.shape[1] // 2, border)
+    out = _depthwise_conv(out, jnp.asarray(kr))
+    return _restore(out, squeeze)
+
+
+def gaussian_blur(x: jnp.ndarray, ksize: int = 0, sigma: float = 0.0) -> jnp.ndarray:
+    """cv2.GaussianBlur analog. ksize=0 derives the aperture from sigma
+    (dtype-dependent, as cv2 does)."""
+    if ksize == 0:
+        if sigma <= 0:
+            raise ValueError("need ksize or sigma")
+        ksize = auto_gaussian_ksize(sigma, uint8_input=jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer))
+    k = gaussian_kernel1d(ksize, sigma)
+    return sep_filter2d(x, k, k)
+
+
+def box_filter(x: jnp.ndarray, ksize: int, border: str = "reflect") -> jnp.ndarray:
+    """cv2.blur analog (normalized box)."""
+    k = np.full((ksize,), 1.0 / ksize, np.float32)
+    return sep_filter2d(x, k, k, border=border)
+
+
+_SOBEL_SMOOTH = np.array([1.0, 2.0, 1.0], np.float32)
+_SOBEL_DIFF = np.array([-1.0, 0.0, 1.0], np.float32)
+
+
+def sobel(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """cv2.Sobel 3x3: axis 'x' → d/dx, 'y' → d/dy."""
+    if axis == "x":
+        return sep_filter2d(x, _SOBEL_DIFF, _SOBEL_SMOOTH)
+    if axis == "y":
+        return sep_filter2d(x, _SOBEL_SMOOTH, _SOBEL_DIFF)
+    raise ValueError("axis must be 'x' or 'y'")
+
+
+_LAPLACIAN_K1 = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], np.float32)
+
+
+def laplacian(x: jnp.ndarray) -> jnp.ndarray:
+    """cv2.Laplacian(ksize=1) 3x3 kernel [[0,1,0],[1,-4,1],[0,1,0]]."""
+    return filter2d(x, _LAPLACIAN_K1)
