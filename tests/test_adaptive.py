@@ -1,0 +1,99 @@
+"""AdaptiveRouter / AdaptivePipeline behavior tests (reference has none —
+its pipeline needs GPU + external repos)."""
+
+import numpy as np
+import pytest
+
+from vfisr_tpu.models.novel.adaptive_pipeline import AdaptiveRouter, RoutingStats
+
+
+@pytest.fixture(scope="module")
+def textured():
+    import cv2
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    return cv2.resize(base, (192, 144), interpolation=cv2.INTER_CUBIC)
+
+
+class TestRouter:
+    def test_scene_change_detected(self, textured, rng):
+        router = AdaptiveRouter()
+        other = rng.integers(0, 256, textured.shape, dtype=np.uint8)
+        analysis = router.analyze(textured, other)
+        assert analysis.is_scene_change
+        assert analysis.recommended_model == "scene_change"
+
+    def test_static_pair_routes_rife(self, textured):
+        router = AdaptiveRouter()
+        analysis = router.analyze(textured, textured)
+        assert not analysis.is_scene_change
+        assert analysis.recommended_model == "rife"
+        assert analysis.motion_mean < 1.0
+        assert analysis.confidence > 0.7
+
+    def test_small_motion_routes_rife(self, textured):
+        router = AdaptiveRouter()
+        moved = np.roll(textured, 2, axis=1)
+        analysis = router.analyze(textured, moved)
+        assert analysis.recommended_model == "rife"
+
+    def test_hud_mask_builds_with_history(self):
+        import cv2
+
+        # coarse texture: a 5px roll must NOT read as a scene cut at 0.25x
+        rng = np.random.default_rng(12)
+        smooth = cv2.resize(
+            rng.integers(0, 256, (9, 12, 3), np.uint8), (192, 144),
+            interpolation=cv2.INTER_CUBIC,
+        )
+        router = AdaptiveRouter()
+        # frames with static HUD box + moving background
+        frames = []
+        for i in range(7):
+            f = np.roll(smooth, 5 * i, axis=1).copy()
+            f[120:140, 10:60] = 200  # static box
+            frames.append(f)
+        for i in range(6):
+            analysis = router.analyze(frames[i], frames[i + 1])
+        assert not analysis.is_scene_change
+        # after >=5 history frames, HUD should be detected in the box
+        assert analysis.hud_coverage > 0.0
+        assert router.hud_mask[125:135, 20:50].mean() > 0.5
+        # moving background should not be HUD
+        assert router.hud_mask[20:100, :].mean() < 0.3
+
+    def test_detect_scene_change_method(self, textured, rng):
+        router = AdaptiveRouter()
+        is_cut, score = router.detect_scene_change(textured, textured)
+        assert not is_cut and score > 0.99
+        other = rng.integers(0, 256, textured.shape, dtype=np.uint8)
+        is_cut, score2 = router.detect_scene_change(textured, other)
+        assert is_cut and score2 < 0.65
+
+    def test_routing_masks_branchless(self, textured):
+        router = AdaptiveRouter()
+        from vfisr_tpu.core.frames import to_batched
+        import jax.numpy as jnp
+
+        x0 = to_batched(textured)
+        x1 = to_batched(np.roll(textured, 2, axis=1))
+        sig = router.analyze_device(x0, x1)
+        masks = router.routing_masks(sig)
+        total = (
+            np.asarray(masks["scene"]).astype(int)
+            + np.asarray(masks["rife"]).astype(int)
+            + np.asarray(masks["vfimamba"]).astype(int)
+        )
+        assert (total == 1).all()  # exactly one route per pair
+
+
+def test_routing_stats():
+    stats = RoutingStats()
+    for m in ("rife", "rife", "vfimamba", "scene_change"):
+        stats.add(m)
+    d = stats.to_dict()
+    assert d["total"] == 4
+    assert d["rife_pct"] == 50.0
+    assert d["vfimamba"] == 1
+    assert RoutingStats().to_dict() == {"total": 0}

@@ -25,12 +25,24 @@ def _gather_hw(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarra
     )
 
 
-def remap_bilinear(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray) -> jnp.ndarray:
-    """cv2.remap(img, map_x, map_y, INTER_LINEAR, BORDER_CONSTANT=0) analog.
+def _reflect_index(i: jnp.ndarray, n: int) -> jnp.ndarray:
+    """cv2 BORDER_REFLECT (edge repeated: ...cba|abcd|dcb...) index folding."""
+    period = 2 * n
+    m = jnp.mod(jnp.mod(i, period) + period, period)
+    return jnp.where(m < n, m, period - 1 - m)
+
+
+def remap_bilinear(
+    img: jnp.ndarray,
+    map_x: jnp.ndarray,
+    map_y: jnp.ndarray,
+    border: str = "constant",
+) -> jnp.ndarray:
+    """cv2.remap(img, map_x, map_y, INTER_LINEAR) analog.
 
     img: [N, H, W, C] float; map_x/map_y: [N, H', W'] absolute source coords.
-    Out-of-range samples contribute 0 (per-corner masking, matching OpenCV's
-    constant border as each of the four taps falls outside).
+    border='constant' (cv2 default): out-of-range taps contribute 0.
+    border='reflect' (BORDER_REFLECT): taps fold back into the image.
     """
     n, h, w, c = img.shape
     x0 = jnp.floor(map_x)
@@ -40,12 +52,27 @@ def remap_bilinear(img: jnp.ndarray, map_x: jnp.ndarray, map_y: jnp.ndarray) -> 
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def tap(yi, xi):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        v = _gather_hw(img, yc, xc)
-        return v * valid[..., None].astype(img.dtype)
+    if border == "reflect":
+
+        def tap(yi, xi):
+            return _gather_hw(img, _reflect_index(yi, h), _reflect_index(xi, w))
+
+    elif border == "replicate":
+
+        def tap(yi, xi):
+            return _gather_hw(img, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
+
+    elif border == "constant":
+
+        def tap(yi, xi):
+            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            yc = jnp.clip(yi, 0, h - 1)
+            xc = jnp.clip(xi, 0, w - 1)
+            v = _gather_hw(img, yc, xc)
+            return v * valid[..., None].astype(img.dtype)
+
+    else:
+        raise ValueError(f"unknown border {border!r}")
 
     v00 = tap(y0i, x0i)
     v01 = tap(y0i, x0i + 1)
@@ -62,7 +89,12 @@ def _base_grid(n: int, h: int, w: int, dtype) -> tuple[jnp.ndarray, jnp.ndarray]
     return ys, xs
 
 
-def flow_warp(img: jnp.ndarray, flow: jnp.ndarray, t: float | jnp.ndarray = 1.0) -> jnp.ndarray:
+def flow_warp(
+    img: jnp.ndarray,
+    flow: jnp.ndarray,
+    t: float | jnp.ndarray = 1.0,
+    border: str = "constant",
+) -> jnp.ndarray:
     """Backward-warp img by ``t × flow``.
 
     img: [N, H, W, C]; flow: [N, H, W, 2] with (u, v) = (dx, dy), the
@@ -72,4 +104,4 @@ def flow_warp(img: jnp.ndarray, flow: jnp.ndarray, t: float | jnp.ndarray = 1.0)
     """
     n, h, w, _ = img.shape
     ys, xs = _base_grid(n, h, w, img.dtype)
-    return remap_bilinear(img, xs + flow[..., 0] * t, ys + flow[..., 1] * t)
+    return remap_bilinear(img, xs + flow[..., 0] * t, ys + flow[..., 1] * t, border=border)

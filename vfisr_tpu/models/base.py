@@ -1,0 +1,279 @@
+"""Abstract base class for all VFI+SR models.
+
+API-compatible rebuild of reference models/base.py:17-364 — same
+``ModelInfo``/``InferenceResult`` dataclasses, the same abstract surface
+(``info``/``load``/``interpolate``/``upscale``) and concrete
+``process_pair``, ``JointModel``, ``TwoStageModel``.
+
+TPU-native difference: subclasses implement *batched device cores*
+(``interpolate_batch``/``upscale_batch`` over NHWC float tensors with a
+static timestamp tuple) and the per-frame numpy list API adapts at the host
+boundary. ``vram_peak_mb`` reports the accelerator allocator's
+peak-bytes-in-use (the TPU analog of torch.cuda.max_memory_allocated,
+reference base.py:140-156); 0.0 when the backend exposes no stats (CPU).
+"""
+
+from __future__ import annotations
+
+import time
+from abc import ABC, abstractmethod
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfisr_tpu.core.frames import (
+    from_batched,
+    get_default_timestamps as _default_timestamps,
+    pad_to_multiple as _pad_to_multiple,
+    to_batched,
+    unpad as _unpad,
+)
+from vfisr_tpu.core.resize import resize, scale_size
+
+
+@dataclass
+class ModelInfo:
+    """Model metadata (reference base.py:17-27)."""
+
+    name: str
+    type: str  # 'traditional', 'sota', 'novel'
+    supports_vfi: bool
+    supports_sr: bool
+    supports_joint: bool
+    parameters: Optional[int] = None
+    requires_gpu: bool = True  # kept for schema parity; means "requires accelerator"
+    description: str = ""
+
+
+@dataclass
+class InferenceResult:
+    """Result from model inference (reference base.py:30-41)."""
+
+    frames: List[np.ndarray]  # (H, W, C) uint8 RGB
+    inference_time_ms: float
+    vram_peak_mb: float
+    model_used: str = ""
+    extra_info: dict = None
+
+    def __post_init__(self):
+        if self.extra_info is None:
+            self.extra_info = {}
+
+
+def device_peak_mb() -> float:
+    """Peak accelerator memory in MB, 0.0 if the backend has no stats."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return stats["peak_bytes_in_use"] / 1e6
+    except Exception:
+        pass
+    return 0.0
+
+
+class BaseModel(ABC):
+    """Abstract base for all upscaling models (reference base.py:44-233)."""
+
+    def __init__(self, device: str = "tpu"):
+        self.device = device
+        self._model = None
+        self._loaded = False
+
+    # ---------------- abstract surface ----------------
+
+    @property
+    @abstractmethod
+    def info(self) -> ModelInfo:
+        """Return model information."""
+
+    @abstractmethod
+    def load(self) -> None:
+        """Load/initialize model weights. Called once before inference."""
+
+    def interpolate(
+        self,
+        frame0: np.ndarray,
+        frame1: np.ndarray,
+        num_frames: int = 3,
+        timestamps: Optional[List[float]] = None,
+    ) -> List[np.ndarray]:
+        """Interpolate between two uint8 HWC RGB frames → list of frames.
+
+        Default adapter over the batched device core.
+        """
+        if timestamps is None:
+            timestamps = self.get_default_timestamps(num_frames)
+        x0 = to_batched(frame0)
+        x1 = to_batched(frame1)
+        out = self.interpolate_batch(x0, x1, tuple(timestamps))  # [N,T,H,W,3]
+        return [from_batched(out[:, i]) for i in range(out.shape[1])]
+
+    def upscale(self, frame: np.ndarray, scale: float = 1.333) -> np.ndarray:
+        """Upscale a single uint8 HWC RGB frame by ``scale``."""
+        x = to_batched(frame)
+        return from_batched(self.upscale_batch(x, scale))
+
+    # ---------------- batched device cores (TPU-native surface) ----------------
+
+    def interpolate_batch(
+        self, x0: jnp.ndarray, x1: jnp.ndarray, timestamps: Tuple[float, ...]
+    ) -> jnp.ndarray:
+        """[N,H,W,3] float pair → [N,T,H,W,3] float. Subclasses override."""
+        raise NotImplementedError
+
+    def upscale_batch(self, x: jnp.ndarray, scale: float) -> jnp.ndarray:
+        """[N,H,W,3] float → upscaled [N,H',W',3] float. Subclasses override."""
+        raise NotImplementedError
+
+    # ---------------- concrete pipeline ----------------
+
+    def process_pair(
+        self,
+        frame0: np.ndarray,
+        frame1: np.ndarray,
+        num_intermediate: int = 3,
+        target_scale: float = 1.333,
+    ) -> InferenceResult:
+        """Interpolate then upscale all frames; timed (reference base.py:114-165).
+
+        Returns [up(frame0), up(mid_1..n), up(frame1)].
+        """
+        if not self._loaded:
+            raise RuntimeError(f"Model {self.info.name} not loaded. Call load() first.")
+
+        start = time.perf_counter()
+        interpolated = self.interpolate(frame0, frame1, num_intermediate)
+        all_frames = [frame0] + interpolated + [frame1]
+        upscaled = [self.upscale(f, target_scale) for f in all_frames]
+        # ensure async dispatch is complete before stopping the clock
+        end = time.perf_counter()
+
+        return InferenceResult(
+            frames=upscaled,
+            inference_time_ms=(end - start) * 1000,
+            vram_peak_mb=device_peak_mb(),
+            model_used=self.info.name,
+        )
+
+    def ensure_loaded(self) -> None:
+        if not self._loaded:
+            self.load()
+            self._loaded = True
+
+    # ---------------- utility methods (reference base.py:175-233) ----------------
+
+    def to_tensor(self, frame: np.ndarray) -> jnp.ndarray:
+        """HWC uint8 → [1,H,W,C] float32 in [0,1] (NHWC, not NCHW)."""
+        return to_batched(frame)
+
+    def to_numpy(self, tensor: jnp.ndarray) -> np.ndarray:
+        """[1,H,W,C]/[H,W,C] float [0,1] → HWC uint8."""
+        return from_batched(tensor)
+
+    def pad_to_multiple(
+        self, tensor: jnp.ndarray, multiple: int = 32
+    ) -> Tuple[jnp.ndarray, Tuple[int, int, int, int]]:
+        return _pad_to_multiple(tensor, multiple)
+
+    def unpad(self, tensor: jnp.ndarray, original_h: int, original_w: int) -> jnp.ndarray:
+        return _unpad(tensor, original_h, original_w)
+
+    def get_default_timestamps(self, num_frames: int) -> List[float]:
+        return _default_timestamps(num_frames)
+
+
+class JointModel(BaseModel):
+    """Base for joint VFI+SR models like SAFA (reference base.py:236-288)."""
+
+    @abstractmethod
+    def joint_process(
+        self,
+        frame0: np.ndarray,
+        frame1: np.ndarray,
+        num_intermediate: int = 3,
+        target_scale: float = 1.333,
+    ) -> List[np.ndarray]:
+        """Single-pass VFI+SR: returns all frames at target scale."""
+
+    def process_pair(
+        self,
+        frame0: np.ndarray,
+        frame1: np.ndarray,
+        num_intermediate: int = 3,
+        target_scale: float = 1.333,
+    ) -> InferenceResult:
+        if not self._loaded:
+            raise RuntimeError(f"Model {self.info.name} not loaded. Call load() first.")
+        start = time.perf_counter()
+        frames = self.joint_process(frame0, frame1, num_intermediate, target_scale)
+        end = time.perf_counter()
+        return InferenceResult(
+            frames=frames,
+            inference_time_ms=(end - start) * 1000,
+            vram_peak_mb=device_peak_mb(),
+            model_used=self.info.name,
+        )
+
+
+class TwoStageModel(BaseModel):
+    """Compose an arbitrary VFI model with an SR model (reference base.py:291-364)."""
+
+    def __init__(self, vfi_model: BaseModel, sr_model: BaseModel, device: str = "tpu"):
+        super().__init__(device)
+        self.vfi_model = vfi_model
+        self.sr_model = sr_model
+
+    @property
+    def info(self) -> ModelInfo:
+        vfi = self.vfi_model.info
+        sr = self.sr_model.info
+        return ModelInfo(
+            name=f"{vfi.name}+{sr.name}",
+            type="sota" if "sota" in (vfi.type, sr.type) else vfi.type,
+            supports_vfi=True,
+            supports_sr=True,
+            supports_joint=False,
+            parameters=(vfi.parameters or 0) + (sr.parameters or 0),
+            requires_gpu=vfi.requires_gpu or sr.requires_gpu,
+            description=f"Two-stage: {vfi.name} VFI + {sr.name} SR",
+        )
+
+    def load(self) -> None:
+        self.vfi_model.ensure_loaded()
+        self.sr_model.ensure_loaded()
+        self._loaded = True
+
+    def interpolate(self, frame0, frame1, num_frames=3, timestamps=None):
+        return self.vfi_model.interpolate(frame0, frame1, num_frames, timestamps)
+
+    def upscale(self, frame, scale: float = 1.333):
+        return self.sr_model.upscale(frame, scale)
+
+    def process_pair(
+        self,
+        frame0: np.ndarray,
+        frame1: np.ndarray,
+        num_intermediate: int = 3,
+        target_scale: float = 1.333,
+    ) -> InferenceResult:
+        if not self._loaded:
+            raise RuntimeError(f"Model {self.info.name} not loaded. Call load() first.")
+        start = time.perf_counter()
+        t_vfi0 = time.perf_counter()
+        interpolated = self.interpolate(frame0, frame1, num_intermediate)
+        t_vfi = (time.perf_counter() - t_vfi0) * 1000
+        all_frames = [frame0] + interpolated + [frame1]
+        t_sr0 = time.perf_counter()
+        upscaled = [self.upscale(f, target_scale) for f in all_frames]
+        t_sr = (time.perf_counter() - t_sr0) * 1000
+        end = time.perf_counter()
+        return InferenceResult(
+            frames=upscaled,
+            inference_time_ms=(end - start) * 1000,
+            vram_peak_mb=device_peak_mb(),
+            model_used=self.info.name,
+            extra_info={"vfi_time_ms": t_vfi, "sr_time_ms": t_sr},
+        )

@@ -1,0 +1,500 @@
+"""NOVEL: Adaptive content-aware VFI+SR pipeline, as an on-device router.
+
+API-compatible rebuild of reference models/novel/adaptive_pipeline.py
+(the project's key innovation): route easy content to fast RIFE, hard
+content (particles / extreme motion) to VFIMamba, skip interpolation on
+scene cuts, and protect HUD/UI regions from interpolation.
+
+Thresholds preserved exactly (adaptive_pipeline.py:81-96):
+motion low/high = 5.0/25.0 px, scene-cut SSIM < 0.65 on 0.25x gray,
+particle score sqrt(min(sigma_flow/20,1) * min(LaplacianVar/500,1)) > 0.4,
+HUD = temporal variance < 10 over last 5 of 10 320x180 gray frames,
+HUD compositing when coverage > 1% (source = f0 if t<0.5 else f1,
+adaptive_pipeline.py:399-409), scene-cut → repeat frame0
+(adaptive_pipeline.py:388).
+
+TPU-native redesign (north-star requirement, SURVEY §7.2.6):
+- ``AdaptiveRouter.analyze_device`` computes ALL analysis signals (SSIM
+  gate, Farneback stats, Laplacian variance, HUD temporal-variance mask)
+  in one jitted batched program; the HUD history deque becomes a ring
+  buffer carried as a device array.
+- ``route_mode='masked'``: fully branchless — both experts run on the
+  batch and per-pair masks select outputs on device (no host round-trip;
+  costs both experts' FLOPs).
+- ``route_mode='hosted'`` (default, reference-equivalent): one scalar
+  readback per pair picks the expert, matching the reference's host-side
+  branching cost model (cheap pairs never pay VFIMamba FLOPs).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfisr_tpu.core.color import rgb_to_gray
+from vfisr_tpu.core.frames import from_batched, to_batched
+from vfisr_tpu.core.resize import resize, scale_size
+from vfisr_tpu.models.base import BaseModel, InferenceResult, ModelInfo, device_peak_mb
+from vfisr_tpu.ops.conv import laplacian
+from vfisr_tpu.ops.flow import farneback_flow
+from vfisr_tpu.ops.morphology import morph_close, morph_open
+from vfisr_tpu.ops.ssim import ssim as ssim_windowed
+
+
+@dataclass
+class ContentAnalysis:
+    """Analysis of a frame pair (reference adaptive_pipeline.py:31-41)."""
+
+    motion_mean: float
+    motion_max: float
+    motion_std: float
+    has_particles: bool
+    is_scene_change: bool
+    hud_coverage: float
+    recommended_model: str
+    confidence: float
+
+
+@dataclass
+class RoutingStats:
+    """Routing decision counters (reference adaptive_pipeline.py:44-71)."""
+
+    total: int = 0
+    rife_count: int = 0
+    vfimamba_count: int = 0
+    scene_change_count: int = 0
+
+    def add(self, model: str):
+        self.total += 1
+        if model == "rife":
+            self.rife_count += 1
+        elif model == "vfimamba":
+            self.vfimamba_count += 1
+        elif model == "scene_change":
+            self.scene_change_count += 1
+
+    def to_dict(self) -> dict:
+        if self.total == 0:
+            return {"total": 0}
+        return {
+            "total": self.total,
+            "rife": self.rife_count,
+            "rife_pct": self.rife_count / self.total * 100,
+            "vfimamba": self.vfimamba_count,
+            "vfimamba_pct": self.vfimamba_count / self.total * 100,
+            "scene_change": self.scene_change_count,
+            "scene_change_pct": self.scene_change_count / self.total * 100,
+        }
+
+
+_HUD_RES = (180, 320)  # reference downsamples analysis frames to 320x180
+
+
+@functools.partial(jax.jit, static_argnames=("scene_thr", "particle_thr", "hud_var_thr"))
+def _analyze_core(
+    f0: jnp.ndarray,
+    f1: jnp.ndarray,
+    history: jnp.ndarray,
+    history_count: jnp.ndarray,
+    scene_thr: float,
+    particle_thr: float,
+    hud_var_thr: float,
+):
+    """Batched analysis program. f0/f1: [N,H,W,3] float [0,1].
+
+    history: [N, K, 180, 320] ring of past gray frames (newest appended by
+    caller); history_count: [N] valid entries.
+    Returns dict of per-pair signals + full-res HUD mask.
+    """
+    n, h, w, _ = f0.shape
+    g0 = rgb_to_gray(f0 * 255.0)
+    g1 = rgb_to_gray(f1 * 255.0)
+
+    # 1) scene cut: SSIM on 0.25x gray (adaptive_pipeline.py:140-160)
+    sh, sw = max(h // 4, 7), max(w // 4, 7)
+    s0 = resize(g0[..., None], (sh, sw), "linear")[..., 0]
+    s1 = resize(g1[..., None], (sh, sw), "linear")[..., 0]
+    ssim_score = ssim_windowed(s0, s1)  # [N]
+    is_scene = ssim_score < scene_thr
+
+    # 2) motion: full-res Farneback (adaptive_pipeline.py:108-138)
+    flow = farneback_flow(g0, g1, 0.5, 3, 15, 3, 5, 1.2)
+    mag = jnp.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+    motion_mean = jnp.mean(mag, axis=(1, 2))
+    motion_max = jnp.max(mag, axis=(1, 2))
+    motion_std = jnp.std(mag, axis=(1, 2))
+
+    # 3) particles (adaptive_pipeline.py:163-191)
+    flow_score = jnp.minimum(motion_std / 20.0, 1.0)
+    lap = laplacian(g0[..., None])[..., 0]
+    lap_var = jnp.var(lap, axis=(1, 2))
+    freq_score = jnp.minimum(lap_var / 500.0, 1.0)
+    particle_score = jnp.sqrt(flow_score * freq_score)
+    has_particles = particle_score > particle_thr
+
+    # 4) HUD: temporal variance over last 5 history frames (193-235)
+    k = history.shape[1]
+    recent = history[:, -5:]  # [N, 5, 180, 320]
+    var = jnp.var(recent, axis=1)
+    hud_small = (var < hud_var_thr).astype(jnp.uint8)
+    enough = (history_count >= 5)[:, None, None]
+    hud_small = jnp.where(enough, hud_small, 0)
+    hud_full = resize(hud_small[..., None].astype(jnp.float32), (h, w), "nearest")[..., 0]
+    hud_full = morph_open(morph_close(hud_full, 5), 5)
+    hud_mask = hud_full > 0.5
+    hud_coverage = jnp.mean(hud_mask.astype(jnp.float32), axis=(1, 2))
+
+    return {
+        "ssim": ssim_score,
+        "is_scene_change": is_scene,
+        "motion_mean": motion_mean,
+        "motion_max": motion_max,
+        "motion_std": motion_std,
+        "particle_score": particle_score,
+        "has_particles": has_particles,
+        "hud_mask": hud_mask,
+        "hud_coverage": hud_coverage,
+    }
+
+
+@jax.jit
+def _push_history(history: jnp.ndarray, count: jnp.ndarray, frame: jnp.ndarray):
+    """Append 320x180 gray of `frame` to the ring buffer (shift-left)."""
+    g = rgb_to_gray(frame * 255.0)
+    small = resize(g[..., None], _HUD_RES, "linear")[..., 0]
+    new_hist = jnp.concatenate([history[:, 1:], small[:, None]], axis=1)
+    return new_hist, jnp.minimum(count + 1, history.shape[1])
+
+
+class AdaptiveRouter:
+    """Content analyzer / routing brain (reference adaptive_pipeline.py:74-286).
+
+    Same thresholds and decision logic; analysis itself is one batched
+    device program. The frame-history deque is a device ring buffer.
+    """
+
+    def __init__(
+        self,
+        motion_threshold_low: float = 5.0,
+        motion_threshold_high: float = 25.0,
+        scene_change_threshold: float = 0.65,
+        particle_threshold: float = 0.4,
+        hud_variance_threshold: float = 10.0,
+        hud_history_frames: int = 10,
+    ):
+        self.motion_threshold_low = motion_threshold_low
+        self.motion_threshold_high = motion_threshold_high
+        self.scene_change_threshold = scene_change_threshold
+        self.particle_threshold = particle_threshold
+        self.hud_variance_threshold = hud_variance_threshold
+        self.hud_history_frames = hud_history_frames
+        self._history = None  # [N, K, 180, 320]
+        self._history_count = None
+        self.hud_mask: Optional[np.ndarray] = None
+
+    def reset_history(self):
+        self._history = None
+        self._history_count = None
+
+    def _ensure_history(self, n: int):
+        if self._history is None or self._history.shape[0] != n:
+            self._history = jnp.zeros((n, self.hud_history_frames, *_HUD_RES), jnp.float32)
+            self._history_count = jnp.zeros((n,), jnp.int32)
+
+    def analyze_device(self, x0: jnp.ndarray, x1: jnp.ndarray) -> dict:
+        """Batched on-device analysis; also advances the HUD history with x0."""
+        n = x0.shape[0]
+        self._ensure_history(n)
+        self._history, self._history_count = _push_history(
+            self._history, self._history_count, x0
+        )
+        return _analyze_core(
+            x0,
+            x1,
+            self._history,
+            self._history_count,
+            self.scene_change_threshold,
+            self.particle_threshold,
+            self.hud_variance_threshold,
+        )
+
+    def routing_masks(self, sig: dict) -> dict:
+        """Branchless routing decision per pair (adaptive_pipeline.py:265-286)."""
+        use_mamba = sig["has_particles"] | (sig["motion_max"] > self.motion_threshold_high)
+        return {
+            "scene": sig["is_scene_change"],
+            "vfimamba": use_mamba & ~sig["is_scene_change"],
+            "rife": ~use_mamba & ~sig["is_scene_change"],
+        }
+
+    # ---- per-pair numpy API (reference-compatible) ----
+    def analyze(self, frame0: np.ndarray, frame1: np.ndarray) -> ContentAnalysis:
+        x0 = to_batched(frame0)
+        x1 = to_batched(frame1)
+        sig = jax.device_get(self.analyze_device(x0, x1))
+        self.hud_mask = np.asarray(sig["hud_mask"][0])
+        ssim_score = float(sig["ssim"][0])
+        if bool(sig["is_scene_change"][0]):
+            return ContentAnalysis(
+                motion_mean=0,
+                motion_max=0,
+                motion_std=0,
+                has_particles=False,
+                is_scene_change=True,
+                hud_coverage=0,
+                recommended_model="scene_change",
+                confidence=1.0 - ssim_score,
+            )
+        motion_mean = float(sig["motion_mean"][0])
+        motion_max = float(sig["motion_max"][0])
+        particle_score = float(sig["particle_score"][0])
+        has_particles = bool(sig["has_particles"][0])
+        if has_particles or motion_max > self.motion_threshold_high:
+            recommended, confidence = "vfimamba", min(particle_score + motion_max / 50.0, 1.0)
+        elif motion_mean < self.motion_threshold_low:
+            recommended, confidence = "rife", 1.0 - motion_mean / self.motion_threshold_low
+        else:
+            recommended, confidence = "rife", 0.7
+        return ContentAnalysis(
+            motion_mean=motion_mean,
+            motion_max=motion_max,
+            motion_std=float(sig["motion_std"][0]),
+            has_particles=has_particles,
+            is_scene_change=False,
+            hud_coverage=float(sig["hud_coverage"][0]),
+            recommended_model=recommended,
+            confidence=confidence,
+        )
+
+    # compatibility helpers mirroring the reference's granular methods
+    def compute_motion(self, frame0, frame1):
+        g0 = rgb_to_gray(jnp.asarray(frame0).astype(jnp.float32))
+        g1 = rgb_to_gray(jnp.asarray(frame1).astype(jnp.float32))
+        flow = farneback_flow(g0, g1, 0.5, 3, 15, 3, 5, 1.2)
+        mag = np.asarray(jnp.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2))
+        return float(mag.mean()), float(mag.max()), float(mag.std()), mag
+
+    def detect_scene_change(self, frame0, frame1):
+        g0 = rgb_to_gray(jnp.asarray(frame0))
+        g1 = rgb_to_gray(jnp.asarray(frame1))
+        h, w = g0.shape[-2:]
+        s0 = resize(g0[..., None].astype(jnp.float32), (h // 4, w // 4), "linear")[..., 0]
+        s1 = resize(g1[..., None].astype(jnp.float32), (h // 4, w // 4), "linear")[..., 0]
+        score = float(ssim_windowed(s0, s1))
+        return score < self.scene_change_threshold, score
+
+
+@functools.partial(jax.jit, static_argnames=("timestamps",))
+def _composite_outputs(
+    rife_out: jnp.ndarray,  # [N,T,H,W,3]
+    mamba_out: jnp.ndarray,
+    x0: jnp.ndarray,
+    x1: jnp.ndarray,
+    masks_scene: jnp.ndarray,  # [N] bool
+    masks_mamba: jnp.ndarray,
+    hud_mask: jnp.ndarray,  # [N,H,W] bool
+    hud_coverage: jnp.ndarray,  # [N]
+    timestamps: Tuple[float, ...],
+):
+    """Branchless select: expert choice + scene-cut repeat + HUD compositing."""
+    sel = jnp.where(masks_mamba[:, None, None, None, None], mamba_out, rife_out)
+    scene_frames = jnp.broadcast_to(x0[:, None], sel.shape)
+    sel = jnp.where(masks_scene[:, None, None, None, None], scene_frames, sel)
+    # HUD compositing per timestep (source = f0 if t<0.5 else f1)
+    apply_hud = (hud_coverage > 0.01)[:, None, None, None]
+    hud = hud_mask[:, :, :, None]
+    outs = []
+    for i, t in enumerate(timestamps):
+        src = x0 if t < 0.5 else x1
+        frame = sel[:, i]
+        frame = jnp.where(apply_hud & hud, src, frame)
+        outs.append(frame)
+    return jnp.stack(outs, axis=1)
+
+
+class AdaptivePipeline(BaseModel):
+    """Adaptive VFI+SR (reference adaptive_pipeline.py:289-484)."""
+
+    def __init__(
+        self,
+        device: str = "tpu",
+        motion_threshold_low: float = 5.0,
+        motion_threshold_high: float = 25.0,
+        enable_vfimamba: bool = True,
+        sr_model_name: str = "lanczos",
+        route_mode: str = "hosted",  # 'hosted' | 'masked'
+    ):
+        super().__init__(device)
+        self.enable_vfimamba = enable_vfimamba
+        self.sr_model_name = sr_model_name
+        self.route_mode = route_mode
+        self.router = AdaptiveRouter(
+            motion_threshold_low=motion_threshold_low,
+            motion_threshold_high=motion_threshold_high,
+        )
+        self.stats = RoutingStats()
+        self._rife = None
+        self._vfimamba = None
+        self._sr = None
+
+    @property
+    def info(self) -> ModelInfo:
+        return ModelInfo(
+            name="AdaptivePipeline",
+            type="novel",
+            supports_vfi=True,
+            supports_sr=True,
+            supports_joint=False,
+            parameters=27_700_000,
+            requires_gpu=True,
+            description=(
+                "Novel adaptive routing: fast RIFE for easy content, "
+                "quality VFIMamba for hard content"
+            ),
+        )
+
+    def load(self) -> None:
+        from vfisr_tpu.models.sota.rife import RIFEModel
+
+        self._rife = RIFEModel(device=self.device)
+        self._rife.load()
+        if self.enable_vfimamba:
+            try:
+                from vfisr_tpu.models.sota.vfimamba import VFIMambaModel
+
+                self._vfimamba = VFIMambaModel(device=self.device)
+                self._vfimamba.load()
+            except Exception as e:  # degrade gracefully (reference :353-361)
+                print(f"Warning: Could not load VFIMamba: {e}")
+                print("Will use RIFE for all frames")
+                self.enable_vfimamba = False
+        if self.sr_model_name == "span":
+            from vfisr_tpu.models.sota.span import SPANModel
+
+            self._sr = SPANModel(device=self.device)
+            self._sr.load()
+        self._loaded = True
+
+    # ---- batched branchless core ----
+    def interpolate_batch(self, x0, x1, timestamps):
+        sig = self.router.analyze_device(x0, x1)
+        masks = self.router.routing_masks(sig)
+        if self.route_mode == "masked" and self.enable_vfimamba:
+            rife_out = self._rife.interpolate_batch(x0, x1, timestamps)
+            mamba_out = self._vfimamba.interpolate_batch(x0, x1, timestamps)
+            for name, m in (("rife", masks["rife"]), ("vfimamba", masks["vfimamba"]),
+                            ("scene_change", masks["scene"])):
+                for hit in np.asarray(m):
+                    if hit:
+                        self.stats.add(name)
+            return _composite_outputs(
+                rife_out, mamba_out, x0, x1,
+                masks["scene"], masks["vfimamba"],
+                sig["hud_mask"], sig["hud_coverage"], tuple(timestamps),
+            )
+        # hosted: one scalar readback chooses the expert for the whole batch
+        use_mamba = bool(np.asarray(masks["vfimamba"]).any()) and self.enable_vfimamba
+        expert = self._vfimamba if use_mamba else self._rife
+        out = expert.interpolate_batch(x0, x1, timestamps)
+        for i in range(x0.shape[0]):
+            if bool(np.asarray(masks["scene"])[i]):
+                self.stats.add("scene_change")
+            else:
+                self.stats.add("vfimamba" if use_mamba else "rife")
+        zeros = jnp.zeros_like(out)
+        return _composite_outputs(
+            out, out, x0, x1,
+            masks["scene"], masks["vfimamba"],
+            sig["hud_mask"], sig["hud_coverage"], tuple(timestamps),
+        )
+
+    def interpolate(
+        self,
+        frame0: np.ndarray,
+        frame1: np.ndarray,
+        num_frames: int = 3,
+        timestamps: Optional[List[float]] = None,
+    ) -> List[np.ndarray]:
+        self.ensure_loaded()
+        if timestamps is None:
+            timestamps = self.get_default_timestamps(num_frames)
+        out = self.interpolate_batch(to_batched(frame0), to_batched(frame1), tuple(timestamps))
+        return [from_batched(out[:, i]) for i in range(out.shape[1])]
+
+    def upscale_batch(self, x, scale: float = 1.333):
+        if self._sr is not None:
+            return self._sr.upscale_batch(x, scale)
+        h, w = x.shape[-3:-1]
+        return resize(x, scale_size(h, w, scale), "lanczos4")
+
+    def upscale(self, frame: np.ndarray, scale: float = 1.333) -> np.ndarray:
+        self.ensure_loaded()
+        return from_batched(self.upscale_batch(to_batched(frame), scale))
+
+    def process_pair(
+        self,
+        frame0: np.ndarray,
+        frame1: np.ndarray,
+        num_intermediate: int = 3,
+        target_scale: float = 1.333,
+    ) -> InferenceResult:
+        """Full adaptive pipeline with analysis attached to extra_info
+        (reference adaptive_pipeline.py:424-475).
+
+        Unlike the reference (which runs router.analyze twice — noted at
+        SURVEY §3.4), analysis runs once and is reused.
+        """
+        self.ensure_loaded()
+        import time
+
+        start = time.perf_counter()
+        analysis = self.router.analyze(frame0, frame1)
+        # route using the already-computed analysis (no second analyze)
+        if analysis.is_scene_change:
+            self.stats.add("scene_change")
+            interpolated = [frame0.copy() for _ in range(num_intermediate)]
+        else:
+            timestamps = self.get_default_timestamps(num_intermediate)
+            if analysis.recommended_model == "vfimamba" and self.enable_vfimamba:
+                self.stats.add("vfimamba")
+                interpolated = self._vfimamba.interpolate(frame0, frame1, num_intermediate)
+            else:
+                self.stats.add("rife")
+                interpolated = self._rife.interpolate(frame0, frame1, num_intermediate)
+            if analysis.hud_coverage > 0.01 and self.router.hud_mask is not None:
+                hud_mask = self.router.hud_mask
+                for i, frame in enumerate(interpolated):
+                    t = timestamps[i]
+                    source = frame0 if t < 0.5 else frame1
+                    frame[hud_mask] = source[hud_mask]
+        all_frames = [frame0] + interpolated + [frame1]
+        upscaled = [self.upscale(f, target_scale) for f in all_frames]
+        end = time.perf_counter()
+        return InferenceResult(
+            frames=upscaled,
+            inference_time_ms=(end - start) * 1000,
+            vram_peak_mb=device_peak_mb(),
+            model_used=self.info.name,
+            extra_info={
+                "analysis": {
+                    "motion_mean": analysis.motion_mean,
+                    "motion_max": analysis.motion_max,
+                    "has_particles": analysis.has_particles,
+                    "is_scene_change": analysis.is_scene_change,
+                    "hud_coverage": analysis.hud_coverage,
+                    "recommended_model": analysis.recommended_model,
+                },
+                "routing_stats": self.stats.to_dict(),
+            },
+        )
+
+    def get_stats(self) -> dict:
+        return self.stats.to_dict()
+
+    def reset_stats(self) -> None:
+        self.stats = RoutingStats()

