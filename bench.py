@@ -1,0 +1,123 @@
+"""Headline benchmark: 1080p→1440p interpolated frames/sec on one chip.
+
+Measures the flagship 30→120fps pipeline step on real hardware: one input
+frame pair → 3 RIFE-interpolated midpoints + endpoint, all upscaled to
+1440p — the "rife_default" configuration of the reference
+(scripts/run_experiments.py:365-386 + Lanczos SR), end-to-end on device.
+
+Timing methodology: this environment tunnels the TPU behind an async PJRT
+proxy where ``block_until_ready`` returns immediately and a synchronous
+readback costs ~30 ms. The pipeline is therefore iterated K times *inside*
+one jitted ``fori_loop`` (iterations data-dependent, so they serialize),
+and per-step time is the marginal (T_K2 - T_K1)/(K2 - K1) between two loop
+lengths — host/tunnel latency cancels.
+
+Baseline: the reference's measured rife_default run produces 147 pairs × 3
+midpoints = 441 interpolated frames in 70.1 s on an RTX 3090
+(outputs/COMPREHENSIVE_REPORT.md:59) → 6.29 interpolated fps.
+North-star (BASELINE.json): ≥120 interpolated fps per chip.
+
+Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_INTERP_FPS = 441.0 / 70.1  # reference rife_default, RTX 3090
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vfisr_tpu.core.frames import pad_to_multiple, to_uint8, unpad
+    from vfisr_tpu.core.resize import resize
+    from vfisr_tpu.models.sota.rife import IFNet, RIFEConfig
+
+    H, W = 1080, 1920
+    OUT_H, OUT_W = 1440, 2560
+    TS = (0.25, 0.5, 0.75)
+
+    cfg = RIFEConfig()
+    module = IFNet(cfg)
+    params = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.asarray([0.5]),
+    )["params"]
+
+    def pipeline_step(x0, x1):
+        """One 30fps input pair -> (four 1440p uint8 frames, 1080p mids)."""
+        x0p, _ = pad_to_multiple(x0, 32)
+        x1p, _ = pad_to_multiple(x1, 32)
+        t = len(TS)
+        x0r = jnp.repeat(x0p, t, axis=0)
+        x1r = jnp.repeat(x1p, t, axis=0)
+        ts = jnp.asarray(TS, x0.dtype)
+        merged, _, _ = module.apply({"params": params}, x0r, x1r, ts)
+        mids = unpad(merged, H, W)
+        frames = jnp.concatenate([x0, mids], axis=0)  # [4, H, W, 3]
+        up = to_uint8(resize(frames, (OUT_H, OUT_W), "lanczos4"))
+        return up, mids
+
+    def chained(k):
+        @jax.jit
+        def run(x0, x1):
+            def body(_, carry):
+                x0c, x1c, acc = carry
+                up, mids = pipeline_step(x0c, x1c)
+                # data dependence: next pair continues from the last midpoint
+                nxt = mids[2:3]
+                return (nxt, x1c, acc + jnp.sum(up[0, ::409, ::409, 0].astype(jnp.float32)))
+
+            _, _, acc = jax.lax.fori_loop(
+                0, k, body, (x0, x1, jnp.zeros((), jnp.float32))
+            )
+            return acc
+
+        return run
+
+    rng = np.random.default_rng(0)
+    f0 = jnp.asarray(rng.random((1, H, W, 3), np.float32))
+    f1 = jnp.asarray(rng.random((1, H, W, 3), np.float32))
+
+    k1, k2 = 4, 24
+    run_k1 = chained(k1)
+    run_k2 = chained(k2)
+    # warmup / compile
+    np.asarray(run_k1(f0, f1))
+    np.asarray(run_k2(f0, f1))
+
+    def best_time(fn, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(f0, f1))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_time(run_k1)
+    t2 = best_time(run_k2)
+    per_step = (t2 - t1) / (k2 - k1)
+    interp_fps = len(TS) / per_step if per_step > 0 else float("inf")
+
+    print(
+        json.dumps(
+            {
+                "metric": "interpolated_fps_1080p_to_1440p_rife3x_single_chip",
+                "value": round(interp_fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(interp_fps / BASELINE_INTERP_FPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# A sitecustomize (axon) re-injects JAX_PLATFORMS=axon; the config update
+# below wins as long as it runs before first backend use.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
