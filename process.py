@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""process.py — video in → enhanced video out (documented CLI, README.md:64-78).
+
+Streaming pipeline: host decode → device VFI+SR → host encode, never
+buffering the output video in RAM (the reference's ffmpeg-stdin design,
+run_experiments.py:760-806). Supports a named method (registry model) or an
+explicit --vfi-model/--sr-model two-stage combination.
+
+Examples:
+    python process.py --input gameplay.mp4 --output enhanced.mp4 \\
+        --method adaptive --target-fps 120 --target-resolution 1440p
+    python process.py --input gameplay.mp4 --output enhanced.mp4 \\
+        --vfi-model rife --sr-model span --target-fps 60
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+RESOLUTIONS = {
+    "1080p": (1920, 1080),
+    "1440p": (2560, 1440),
+    "4k": (3840, 2160),
+    "2160p": (3840, 2160),
+}
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Process a video with VFI+SR")
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--method", default=None, help="Registry model name (e.g. adaptive, rife)")
+    parser.add_argument("--vfi-model", default=None, help="VFI model for two-stage mode")
+    parser.add_argument("--sr-model", default=None, help="SR model for two-stage mode")
+    parser.add_argument("--target-fps", type=float, default=120.0)
+    parser.add_argument("--target-resolution", default="1440p",
+                        help="1080p | 1440p | 4k | WxH")
+    parser.add_argument("--max-frames", type=int, default=0, help="Cap input frames (0=all)")
+    args = parser.parse_args()
+
+    from vfisr_tpu.pipeline.streaming import process_video
+
+    if args.target_resolution.lower() in RESOLUTIONS:
+        target_res = RESOLUTIONS[args.target_resolution.lower()]
+    else:
+        w, h = map(int, args.target_resolution.lower().split("x"))
+        target_res = (w, h)
+
+    stats = process_video(
+        input_path=args.input,
+        output_path=args.output,
+        method=args.method,
+        vfi_model=args.vfi_model,
+        sr_model=args.sr_model,
+        target_fps=args.target_fps,
+        target_resolution=target_res,
+        max_frames=args.max_frames,
+    )
+    print(
+        f"Done: {stats['output_frames']} frames @ {stats['target_fps']}fps "
+        f"{stats['target_resolution']} in {stats['elapsed_s']:.1f}s "
+        f"({stats['realtime_x']:.2f}x realtime) -> {args.output}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,566 @@
+"""Named-experiment sweep harness (reference scripts/run_experiments.py).
+
+Replicates the reference's experiment semantics end to end:
+- the LIGHT/HEAVY experiment tables and quality-level matrix
+  (run_experiments.py:163-249);
+- the streaming per-frame loop: read → crop 16:9 → degrade 960×540 (area)
+  → SR upscale per method → optional edge enhance → 3 VFI intermediates
+  per pair streamed straight to the video writer (:760-1009);
+- metric split: keyframe vs reference frames, t=0.5 VFI frame vs GT
+  midpoints, LPIPS every 10th VFI frame, overall = 0.25·KF + 0.75·VFI
+  (:1021-1038);
+- checkpoint/resume: results JSON re-saved after every experiment,
+  completed (name, interval_idx) pairs skipped on --resume
+  (:144-146, 1204-1218, 1405-1407);
+- two-stage SIGINT graceful shutdown (:128-140);
+- the same result-dict schema (:1042-1079).
+"""
+
+from __future__ import annotations
+
+import json
+import signal
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from vfisr_tpu.evaluation.metrics import calc_psnr, calc_ssim, safe_round
+from vfisr_tpu.data.video_io import VideoWriter
+from vfisr_tpu.methods.inline import (
+    calc_motion,
+    edge_enhance,
+    estimate_motion_complexity,
+    linear_blend,
+    mcar_interpolate_cached,
+    ui_aware_interpolate,
+    ughi_interpolate,
+)
+
+INPUT_W, INPUT_H = 960, 540
+DURATION = 5.0
+
+QUALITY_LEVELS = {
+    "high": {"fps": 120, "resolution": (3840, 2160), "label": "4K@120"},
+    "medium": {"fps": 90, "resolution": (2560, 1440), "label": "1440p@90"},
+    "low": {"fps": 60, "resolution": (1920, 1080), "label": "1080p@60"},
+}
+DEFAULT_QUALITY = "medium"
+
+LIGHT_EXPERIMENTS = [
+    {"name": "control", "vfi": "none", "sr": "lanczos", "edge": 0, "motion_thresh": 0, "description": "Reference (no degradation)"},
+    {"name": "degraded", "vfi": "frame_dup", "sr": "bicubic", "edge": 0, "motion_thresh": 0, "description": "Worst case baseline"},
+    {"name": "lanczos_blend", "vfi": "linear_blend", "sr": "lanczos", "edge": 0, "motion_thresh": 0, "description": "Simple interpolation"},
+    {"name": "lanczos_blend_edge", "vfi": "linear_blend", "sr": "lanczos", "edge": 1.3, "motion_thresh": 0, "description": "Blend + edge enhance"},
+    {"name": "lanczos_blend_sharp", "vfi": "linear_blend", "sr": "lanczos", "edge": 1.5, "motion_thresh": 0, "description": "Blend + strong sharpen"},
+    {"name": "optical_flow_basic", "vfi": "optical_flow", "sr": "lanczos", "edge": 0, "description": "Optical flow VFI"},
+    {"name": "optical_flow_edge", "vfi": "optical_flow", "sr": "lanczos", "edge": 1.3, "description": "Optical flow + edge"},
+    {"name": "optical_flow_sharp", "vfi": "optical_flow", "sr": "lanczos", "edge": 1.5, "description": "Optical flow + strong sharpen"},
+    {"name": "bicubic_blend", "vfi": "linear_blend", "sr": "bicubic", "edge": 0, "description": "Bicubic SR + blend"},
+    {"name": "bicubic_blend_edge", "vfi": "linear_blend", "sr": "bicubic", "edge": 1.3, "description": "Bicubic + edge"},
+    {"name": "uafi_default", "vfi": "ui_aware", "sr": "lanczos", "edge": 1.3, "description": "UI-Aware Frame Interpolation"},
+    {"name": "ughi_default", "vfi": "ughi", "sr": "lanczos", "edge": 1.3, "description": "Uncertainty-Guided Hybrid"},
+]
+
+HEAVY_EXPERIMENTS = [
+    {"name": "rife_fast", "vfi": "rife", "sr": "lanczos", "edge": 1.3, "rife_scale": 0.25, "description": "RIFE fast (scale 0.25)"},
+    {"name": "rife_default", "vfi": "rife", "sr": "lanczos", "edge": 1.3, "rife_scale": 0.5, "description": "RIFE default"},
+    {"name": "adaptive_conservative", "vfi": "adaptive", "sr": "lanczos", "edge": 1.3, "motion_thresh": 5.0, "description": "Adaptive (conservative)"},
+    {"name": "adaptive_default", "vfi": "adaptive", "sr": "lanczos", "edge": 1.3, "motion_thresh": 3.0, "description": "Adaptive (default)"},
+    {"name": "adaptive_aggressive", "vfi": "adaptive", "sr": "lanczos", "edge": 1.3, "motion_thresh": 1.5, "description": "Adaptive (aggressive)"},
+    {"name": "mcar_default", "vfi": "mcar", "sr": "lanczos", "edge": 1.3, "mcar_low": 0.25, "mcar_high": 0.6, "description": "Motion-Complexity Adaptive Routing"},
+    {"name": "mcar_aggressive", "vfi": "mcar", "sr": "lanczos", "edge": 1.3, "mcar_low": 0.15, "mcar_high": 0.4, "description": "MCAR (more RIFE usage)"},
+]
+
+EXPERIMENTS = LIGHT_EXPERIMENTS + HEAVY_EXPERIMENTS
+
+CORE_LIGHT = [e for e in LIGHT_EXPERIMENTS if e["name"] in
+              ("control", "degraded", "lanczos_blend_edge", "optical_flow_edge")]
+CORE_HEAVY = [e for e in HEAVY_EXPERIMENTS if e["name"] in ("rife_default", "adaptive_default")]
+
+
+def generate_quality_experiments(base_experiments, quality_levels=None):
+    """Cross experiments × quality levels (run_experiments.py:228-249)."""
+    if quality_levels is None:
+        quality_levels = list(QUALITY_LEVELS)
+    out = []
+    for quality in quality_levels:
+        q = QUALITY_LEVELS[quality]
+        for exp in base_experiments:
+            e = exp.copy()
+            e["quality_level"] = quality
+            e["quality_fps"] = q["fps"]
+            e["quality_resolution"] = q["resolution"]
+            e["name"] = f"{exp['name']}_{q['label']}"
+            e["description"] = f"{exp.get('description', '')} @ {q['label']}"
+            out.append(e)
+    return out
+
+
+class _RIFESingleton:
+    """Singleton RIFE loader (run_experiments.py:252-271)."""
+
+    _instance = None
+
+    @classmethod
+    def get(cls):
+        if cls._instance is None:
+            from vfisr_tpu.models.registry import get_model
+
+            cls._instance = get_model("rife", load=True)
+            print("[RIFE] Model loaded")
+        return cls._instance
+
+
+def _rife_interpolate(prev: np.ndarray, curr: np.ndarray, t: float, scale: float = 0.5):
+    """Script-level RIFE call (run_experiments.py:365-386). Padding is
+    handled inside the native model (reflect, ×32)."""
+    m = _RIFESingleton.get()
+    return m.interpolate(prev, curr, num_frames=1, timestamps=[t])[0]
+
+
+def _flow_half_res(prev_gray, curr_gray, out_w, out_h):
+    """Half-res Farneback upsampled ×2 (run_experiments.py:880-886)."""
+    from vfisr_tpu.ops.flow import farneback_flow
+
+    g0 = cv2.resize(prev_gray, (out_w // 2, out_h // 2))
+    g1 = cv2.resize(curr_gray, (out_w // 2, out_h // 2))
+    fl = np.asarray(farneback_flow(g0.astype(np.float32), g1.astype(np.float32)))
+    return cv2.resize(fl, (out_w, out_h)) * 2
+
+
+class GracefulShutdown:
+    """Two-stage SIGINT/SIGTERM handler (run_experiments.py:128-140)."""
+
+    def __init__(self):
+        self.requested = False
+        self._installed = False
+
+    def install(self):
+        if self._installed:
+            return
+
+        def handler(signum, frame):
+            if self.requested:
+                print("\nForce exit.")
+                raise SystemExit(130)
+            print("\nShutdown requested — finishing current experiment "
+                  "(press again to force quit)...")
+            self.requested = True
+
+        signal.signal(signal.SIGINT, handler)
+        signal.signal(signal.SIGTERM, handler)
+        self._installed = True
+
+
+def run_experiment(
+    source_keyframes: List[np.ndarray],
+    gt_midpoints: Optional[List[np.ndarray]],
+    experiment: dict,
+    ref_frames: Optional[List[np.ndarray]] = None,
+    output_path: Optional[str] = None,
+    out_fps: Optional[float] = None,
+    lpips_fn=None,
+    verbose: bool = True,
+) -> dict:
+    """One experiment over a cached interval (run_experiments.py:669-1079).
+
+    source_keyframes: full-res RGB keyframes (the 30fps stream);
+    gt_midpoints: RGB midpoints for VFI evaluation; ref_frames: reference
+    keyframes for SR/degradation metrics (defaults to source_keyframes).
+    """
+    name = experiment["name"]
+    vfi_method = experiment.get("vfi", "linear_blend")
+    sr_method = experiment.get("sr", "lanczos")
+    edge_strength = experiment.get("edge", 0)
+    motion_thresh = experiment.get("motion_thresh", 3.0)
+    rife_scale = experiment.get("rife_scale", 0.5)
+    mcar_low = experiment.get("mcar_low", 0.3)
+    mcar_high = experiment.get("mcar_high", 0.7)
+    exp_fps = experiment.get("quality_fps", QUALITY_LEVELS[DEFAULT_QUALITY]["fps"])
+    exp_out_w, exp_out_h = experiment.get(
+        "quality_resolution", QUALITY_LEVELS[DEFAULT_QUALITY]["resolution"]
+    )
+    quality_level = experiment.get("quality_level", "default")
+
+    is_control = name == "control" or name.startswith("control_")
+    interp = cv2.INTER_CUBIC if sr_method == "bicubic" else cv2.INTER_LANCZOS4
+    if ref_frames is None:
+        ref_frames = source_keyframes
+
+    writer = None
+    if output_path:
+        writer = VideoWriter(output_path, exp_out_w, exp_out_h, out_fps or exp_fps)
+
+    LPIPS_SAMPLE_RATE = 10
+    cnt = 0
+    psnr_sum = ssim_sum = 0.0
+    metric_cnt = 0
+    vfi_psnr_sum = vfi_ssim_sum = 0.0
+    vfi_metric_cnt = 0
+    vfi_lpips_sum = 0.0
+    vfi_lpips_cnt = 0
+    rife_frame_count = 0
+    total_interp_frames = 0
+    midpoint_idx = 0
+    prev = prev_gray = None
+    t0 = time.time()
+
+    def eval_vfi(vfi_frame):
+        nonlocal vfi_psnr_sum, vfi_ssim_sum, vfi_metric_cnt, vfi_lpips_sum, vfi_lpips_cnt
+        if gt_midpoints and midpoint_idx < len(gt_midpoints):
+            gt = gt_midpoints[midpoint_idx]
+            if gt.shape[:2] != vfi_frame.shape[:2]:
+                gt = cv2.resize(gt, (vfi_frame.shape[1], vfi_frame.shape[0]),
+                                interpolation=cv2.INTER_LANCZOS4)
+            vfi_psnr_sum += calc_psnr(vfi_frame, gt)
+            vfi_ssim_sum += calc_ssim(
+                cv2.cvtColor(vfi_frame, cv2.COLOR_RGB2GRAY),
+                cv2.cvtColor(gt, cv2.COLOR_RGB2GRAY),
+            )
+            vfi_metric_cnt += 1
+            if vfi_metric_cnt % LPIPS_SAMPLE_RATE == 0 and lpips_fn is not None:
+                val = lpips_fn(vfi_frame, gt)
+                if val is not None:
+                    vfi_lpips_sum += float(val)
+                    vfi_lpips_cnt += 1
+
+    for ref_idx, src in enumerate(source_keyframes):
+        if is_control:
+            out = cv2.resize(src, (exp_out_w, exp_out_h), interpolation=cv2.INTER_LANCZOS4)
+            out_for_metrics = out
+        else:
+            degraded = cv2.resize(src, (INPUT_W, INPUT_H), interpolation=cv2.INTER_AREA)
+            out = cv2.resize(degraded, (exp_out_w, exp_out_h), interpolation=interp)
+            out_for_metrics = out.copy()
+            if edge_strength > 0:
+                out = edge_enhance(out, edge_strength)
+
+        needs_gray = vfi_method in ("optical_flow", "adaptive", "mcar")
+        curr_gray = cv2.cvtColor(out, cv2.COLOR_RGB2GRAY) if needs_gray else None
+
+        if prev is not None:
+            if vfi_method == "frame_dup":
+                for i in range(1, 4):
+                    if writer:
+                        writer.write(prev)
+                    cnt += 1
+                    if i == 2:
+                        eval_vfi(prev)
+                midpoint_idx += 1
+            elif vfi_method == "adaptive" and prev_gray is not None:
+                motion = calc_motion(
+                    cv2.resize(prev_gray, (480, 270)), cv2.resize(curr_gray, (480, 270))
+                )
+                total_interp_frames += 3
+                use_rife_here = motion > motion_thresh
+                if use_rife_here:
+                    rife_frame_count += 3
+                for i in range(1, 4):
+                    t = i / 4
+                    mid = (
+                        _rife_interpolate(prev, out, t, rife_scale)
+                        if use_rife_here
+                        else linear_blend(prev, out, t)
+                    )
+                    if writer:
+                        writer.write(mid)
+                    cnt += 1
+                    if i == 2:
+                        eval_vfi(mid)
+                midpoint_idx += 1
+            elif vfi_method == "rife":
+                for i in range(1, 4):
+                    mid = _rife_interpolate(prev, out, i / 4, rife_scale)
+                    if writer:
+                        writer.write(mid)
+                    cnt += 1
+                    if i == 2:
+                        eval_vfi(mid)
+                midpoint_idx += 1
+            elif vfi_method == "optical_flow":
+                fl = _flow_half_res(prev_gray, curr_gray, exp_out_w, exp_out_h)
+                h, w = prev.shape[:2]
+                y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+                for i in range(1, 4):
+                    t = i / 4
+                    wr_x = x + fl[..., 0] * t
+                    wr_y = y + fl[..., 1] * t
+                    from vfisr_tpu.core.warp import remap_bilinear
+                    import jax.numpy as jnp
+
+                    wr = np.asarray(
+                        remap_bilinear(
+                            jnp.asarray(prev, jnp.float32)[None],
+                            jnp.asarray(wr_x)[None],
+                            jnp.asarray(wr_y)[None],
+                        )
+                    )[0]
+                    blended = np.clip(wr * (1 - t) + out.astype(np.float32) * t, 0, 255).astype(np.uint8)
+                    if writer:
+                        writer.write(blended)
+                    cnt += 1
+                    if i == 2:
+                        eval_vfi(blended)
+                midpoint_idx += 1
+            elif vfi_method == "ui_aware":
+                for i in range(1, 4):
+                    mid = ui_aware_interpolate(prev, out, i / 4)
+                    if writer:
+                        writer.write(mid)
+                    cnt += 1
+                    if i == 2:
+                        eval_vfi(mid)
+                midpoint_idx += 1
+            elif vfi_method == "ughi":
+                for i in range(1, 4):
+                    mid, _ = ughi_interpolate(prev, out, i / 4)
+                    if writer:
+                        writer.write(mid)
+                    cnt += 1
+                    if i == 2:
+                        eval_vfi(mid)
+                midpoint_idx += 1
+            elif vfi_method == "mcar":
+                pg = cv2.cvtColor(prev, cv2.COLOR_RGB2GRAY)
+                cg = cv2.cvtColor(out, cv2.COLOR_RGB2GRAY)
+                complexity, flow = estimate_motion_complexity(pg, cg)
+                total_interp_frames += 3
+                rife_model = _RIFESingleton.get() if complexity >= mcar_high else None
+                for i in range(1, 4):
+                    mid, tier = mcar_interpolate_cached(
+                        prev, out, i / 4, complexity, flow, rife_model, mcar_low, mcar_high
+                    )
+                    if tier == "rife":
+                        rife_frame_count += 1
+                    if writer:
+                        writer.write(mid)
+                    cnt += 1
+                    if i == 2:
+                        eval_vfi(mid)
+                midpoint_idx += 1
+            elif is_control or vfi_method == "none":
+                for i in range(1, 4):
+                    if writer:
+                        writer.write(prev)
+                    cnt += 1
+                midpoint_idx += 1
+            else:  # linear_blend
+                for i in range(1, 4):
+                    t = i / 4
+                    blended = linear_blend(prev, out, t)
+                    if writer:
+                        writer.write(blended)
+                    cnt += 1
+                    if i == 2:
+                        eval_vfi(blended)
+                midpoint_idx += 1
+
+        if writer:
+            writer.write(out)
+        cnt += 1
+
+        if ref_frames and ref_idx < len(ref_frames):
+            ref = ref_frames[ref_idx]
+            if ref.shape[:2] != out_for_metrics.shape[:2]:
+                ref = cv2.resize(ref, (out_for_metrics.shape[1], out_for_metrics.shape[0]),
+                                 interpolation=cv2.INTER_LANCZOS4)
+            psnr_sum += calc_psnr(out_for_metrics, ref)
+            ssim_sum += calc_ssim(
+                cv2.cvtColor(out_for_metrics, cv2.COLOR_RGB2GRAY),
+                cv2.cvtColor(ref, cv2.COLOR_RGB2GRAY),
+            )
+            metric_cnt += 1
+
+        prev, prev_gray = out.copy(), curr_gray
+
+    if writer:
+        writer.close()
+    elapsed = time.time() - t0
+
+    avg_kf_psnr = psnr_sum / metric_cnt if metric_cnt else 0
+    avg_kf_ssim = ssim_sum / metric_cnt if metric_cnt else 0
+    avg_vfi_psnr = vfi_psnr_sum / vfi_metric_cnt if vfi_metric_cnt else 0
+    avg_vfi_ssim = vfi_ssim_sum / vfi_metric_cnt if vfi_metric_cnt else 0
+    avg_vfi_lpips = vfi_lpips_sum / vfi_lpips_cnt if vfi_lpips_cnt else None
+
+    if metric_cnt and vfi_metric_cnt:
+        overall_psnr = 0.25 * avg_kf_psnr + 0.75 * avg_vfi_psnr
+        overall_ssim = 0.25 * avg_kf_ssim + 0.75 * avg_vfi_ssim
+    elif metric_cnt:
+        overall_psnr, overall_ssim = avg_kf_psnr, avg_kf_ssim
+    else:
+        overall_psnr = overall_ssim = 0
+
+    use_rife = vfi_method == "rife"
+    use_adaptive = vfi_method == "adaptive"
+    use_mcar = vfi_method == "mcar"
+    rife_pct = (rife_frame_count / total_interp_frames * 100) if total_interp_frames else 0
+
+    return {
+        "name": name,
+        "config": experiment,
+        "frames": cnt,
+        "time_s": round(elapsed, 2),
+        "fps_achieved": round(cnt / elapsed, 1) if elapsed > 0 else 0,
+        "keyframe_psnr_db": safe_round(avg_kf_psnr, 2),
+        "keyframe_ssim": round(avg_kf_ssim, 4),
+        "vfi_psnr_db": safe_round(avg_vfi_psnr, 2),
+        "vfi_ssim": round(avg_vfi_ssim, 4),
+        "vfi_lpips": round(avg_vfi_lpips, 4) if avg_vfi_lpips is not None else None,
+        "overall_psnr_db": safe_round(overall_psnr, 2),
+        "overall_ssim": round(overall_ssim, 4),
+        "psnr_db": safe_round(overall_psnr, 2),
+        "ssim": round(overall_ssim, 4),
+        "keyframes_evaluated": metric_cnt,
+        "vfi_frames_evaluated": vfi_metric_cnt,
+        "lpips_frames_sampled": vfi_lpips_cnt,
+        "rife_frames_pct": round(rife_pct, 1) if (use_adaptive or use_mcar)
+        else (100.0 if use_rife else 0),
+        "realtime_x": round((cnt / exp_fps) / elapsed, 2) if elapsed > 0 else 0,
+        "used_rife": use_rife or use_adaptive or use_mcar,
+        "output_video": str(output_path) if output_path else None,
+        "quality_level": quality_level,
+        "target_fps": exp_fps,
+        "target_resolution": f"{exp_out_w}x{exp_out_h}",
+        "vfi_method": vfi_method,
+        "sr_method": sr_method,
+        "edge_strength": edge_strength,
+    }
+
+
+class ExperimentCheckpoint:
+    """Crash-safe results store (run_experiments.py:1204-1218, 1405-1407)."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.data = {"experiments": [], "created": time.strftime("%Y-%m-%d %H:%M:%S")}
+        if self.path.exists():
+            with open(self.path) as f:
+                self.data = json.load(f)
+
+    def completed_keys(self) -> set:
+        return {
+            (e["name"], e.get("interval_idx", 0))
+            for e in self.data.get("experiments", [])
+        }
+
+    def append(self, result: dict):
+        self.data["experiments"].append(result)
+        self.save()
+
+    def save(self):
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.data, f, indent=2)
+        tmp.replace(self.path)
+
+
+def run_experiment_sweep(
+    clip_id: str,
+    intervals: List[int],
+    experiments: List[dict],
+    data_dir: str = "data",
+    output_dir: str = "outputs",
+    resume: bool = False,
+    write_videos: bool = False,
+    max_frames: Optional[int] = None,
+    use_lpips: bool = True,
+) -> dict:
+    """Sweep experiments × intervals with checkpoint/resume + SIGINT."""
+    from vfisr_tpu.data.extract_intervals import load_interval
+
+    out_dir = Path(output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    checkpoint = ExperimentCheckpoint(out_dir / "experiment_results.json")
+    if not resume:
+        checkpoint.data = {"experiments": [], "created": time.strftime("%Y-%m-%d %H:%M:%S")}
+    done = checkpoint.completed_keys() if resume else set()
+    shutdown = GracefulShutdown()
+    shutdown.install()
+
+    lpips_fn = None
+    if use_lpips:
+        from vfisr_tpu.evaluation.lpips import default_lpips
+
+        lp = default_lpips()
+        lpips_fn = lambda a, b: float(lp(a, b)[0])
+
+    log_path = out_dir / "experiment_log.txt"
+    with open(log_path, "a") as log_file:
+        for interval_idx in intervals:
+            if shutdown.requested:
+                break
+            keyframes, midpoints, meta = load_interval(
+                clip_id, interval_idx, data_dir, max_frames=max_frames
+            )
+            for experiment in experiments:
+                if shutdown.requested:
+                    break
+                key = (experiment["name"], interval_idx)
+                if key in done:
+                    print(f"  [skip] {experiment['name']} interval {interval_idx} (done)")
+                    continue
+                print(f"  Running {experiment['name']} on interval {interval_idx}...")
+                video_path = (
+                    str(out_dir / "videos" / f"{experiment['name']}_i{interval_idx}.mp4")
+                    if write_videos
+                    else None
+                )
+                try:
+                    result = run_experiment(
+                        keyframes, midpoints, experiment,
+                        output_path=video_path, lpips_fn=lpips_fn,
+                    )
+                    result["interval_idx"] = interval_idx
+                    result["clip_id"] = clip_id
+                    result["interval_difficulty"] = meta.get("difficulty")
+                    checkpoint.append(result)
+                    log_file.write(
+                        f"[{experiment['name']}] i{interval_idx}: "
+                        f"KF {result['keyframe_psnr_db']} dB | "
+                        f"VFI {result['vfi_psnr_db']} dB | "
+                        f"{result['time_s']}s\n"
+                    )
+                    log_file.flush()
+                    print(
+                        f"    KF_PSNR: {result['keyframe_psnr_db']} | "
+                        f"VFI_PSNR: {result['vfi_psnr_db']} | {result['time_s']}s"
+                    )
+                except Exception as e:  # continue the sweep (reference :1381-1390)
+                    print(f"    FAILED: {e}")
+                    log_file.write(f"[{experiment['name']}] i{interval_idx} FAILED: {e}\n")
+                    log_file.flush()
+    return checkpoint.data
+
+
+def summarize(results: dict) -> str:
+    """Console summary grouped by method (run_experiments.py:1440-1475)."""
+    by_name: Dict[str, list] = {}
+    for e in results.get("experiments", []):
+        by_name.setdefault(e["name"], []).append(e)
+    lines = [
+        f"{'Experiment':<28}{'VFI PSNR':>10}{'VFI SSIM':>10}{'KF PSNR':>9}{'time s':>8}"
+    ]
+    lines.append("-" * 65)
+
+    def _key(rows):
+        vals = [r["vfi_psnr_db"] for r in rows if isinstance(r["vfi_psnr_db"], (int, float))]
+        return -(np.mean(vals) if vals else -1)
+
+    for name, rows in sorted(by_name.items(), key=lambda kv: _key(kv[1])):
+        vfi = [r["vfi_psnr_db"] for r in rows if isinstance(r["vfi_psnr_db"], (int, float))]
+        ssim = [r["vfi_ssim"] for r in rows]
+        kf = [r["keyframe_psnr_db"] for r in rows if isinstance(r["keyframe_psnr_db"], (int, float))]
+        t = [r["time_s"] for r in rows]
+        lines.append(
+            f"{name:<28}"
+            f"{np.mean(vfi) if vfi else float('nan'):>10.2f}"
+            f"{np.mean(ssim):>10.4f}"
+            f"{np.mean(kf) if kf else float('nan'):>9.2f}"
+            f"{np.mean(t):>8.1f}"
+        )
+    return "\n".join(lines)
