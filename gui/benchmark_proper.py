@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Video-producing benchmark for the blind study (reference
+gui/benchmark_proper.py, 467 LoC).
+
+Produces one video per method from a registered clip's frames, ordered
+control → degraded → lanczos → rife_lanczos → adaptive_vfi (reference
+:376-382; adaptive = motion>3.0 at 480×270 → RIFE else blend, :242-254),
+and writes ``clips_metadata.json`` with psnr/ssim/bitrate per clip
+(:412-453).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+METHODS = ["control", "degraded", "lanczos", "rife_lanczos", "adaptive_vfi"]
+
+
+def run_method(method: str, keyframes, out_path: str, out_w: int, out_h: int, fps: float):
+    from vfisr_tpu.data.video_io import VideoWriter
+    from vfisr_tpu.evaluation.metrics import calc_psnr, calc_ssim
+    from vfisr_tpu.methods.inline import calc_motion, linear_blend
+
+    rife = None
+    if method in ("rife_lanczos", "adaptive_vfi"):
+        from vfisr_tpu.models.registry import get_model
+
+        rife = get_model("rife", load=True)
+
+    psnrs, ssims = [], []
+    prev = None
+    n = len(keyframes)
+    with VideoWriter(out_path, out_w, out_h, fps) as writer:
+        for idx, src in enumerate(keyframes):
+            if method == "control":
+                out = cv2.resize(src, (out_w, out_h), interpolation=cv2.INTER_LANCZOS4)
+            else:
+                degraded = cv2.resize(src, (960, 540), interpolation=cv2.INTER_AREA)
+                interp = cv2.INTER_CUBIC if method == "degraded" else cv2.INTER_LANCZOS4
+                out = cv2.resize(degraded, (out_w, out_h), interpolation=interp)
+
+            if prev is not None:
+                for i in range(1, 4):
+                    if method == "control":
+                        mid = prev
+                    elif method == "degraded":
+                        mid = prev
+                    elif method == "rife_lanczos":
+                        mid = rife.interpolate(prev, out, 1, [i / 4])[0]
+                    elif method == "adaptive_vfi":
+                        g0 = cv2.resize(cv2.cvtColor(prev, cv2.COLOR_RGB2GRAY), (480, 270))
+                        g1 = cv2.resize(cv2.cvtColor(out, cv2.COLOR_RGB2GRAY), (480, 270))
+                        if calc_motion(g0, g1) > 3.0:
+                            mid = rife.interpolate(prev, out, 1, [i / 4])[0]
+                        else:
+                            mid = linear_blend(prev, out, i / 4)
+                    else:  # lanczos blend
+                        mid = linear_blend(prev, out, i / 4)
+                    writer.write(mid)
+            writer.write(out)
+            # keyframe quality vs lanczos-upscaled source
+            ref = cv2.resize(src, (out_w, out_h), interpolation=cv2.INTER_LANCZOS4)
+            psnrs.append(calc_psnr(out, ref))
+            ssims.append(
+                calc_ssim(cv2.cvtColor(out, cv2.COLOR_RGB2GRAY),
+                          cv2.cvtColor(ref, cv2.COLOR_RGB2GRAY))
+            )
+            prev = out
+            if idx % 10 == 0:
+                print(f"  [{method}] {int(100 * (idx + 1) / n)}%", flush=True)
+
+    finite = [p for p in psnrs if np.isfinite(p)]
+    return {
+        "psnr": float(np.mean(finite)) if finite else None,
+        "ssim": float(np.mean(ssims)) if ssims else None,
+        "bitrate_kbps": round(Path(out_path).stat().st_size * 8 / 1000
+                              / max(len(keyframes) * 4 / fps, 1e-9), 1),
+        "output_path": str(out_path),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--clip", required=True, help="Registered clip id")
+    parser.add_argument("--interval", type=int, default=0)
+    parser.add_argument("--data-dir", default="data")
+    parser.add_argument("--output-dir", default="outputs/benchmark")
+    parser.add_argument("--methods", default=",".join(METHODS))
+    parser.add_argument("--resolution", default="2560x1440")
+    parser.add_argument("--fps", type=float, default=120.0)
+    parser.add_argument("--max-frames", type=int, default=None)
+    args = parser.parse_args()
+
+    from vfisr_tpu.data.extract_intervals import load_interval
+
+    out_w, out_h = map(int, args.resolution.split("x"))
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    keyframes, _, meta = load_interval(args.clip, args.interval, args.data_dir,
+                                       max_frames=args.max_frames)
+    print(f"Benchmarking {args.clip} interval {args.interval}: "
+          f"{len(keyframes)} keyframes")
+
+    meta_path = out_dir / "clips_metadata.json"
+    metadata = json.loads(meta_path.read_text()) if meta_path.exists() else {"clips": {}}
+    clip_entry = metadata["clips"].setdefault(
+        args.clip, {"videos": {}, "metrics": {}, "interval": args.interval}
+    )
+
+    for method in args.methods.split(","):
+        method = method.strip()
+        t0 = time.time()
+        out_path = out_dir / f"{method}.mp4"
+        stats = run_method(method, keyframes, str(out_path), out_w, out_h, args.fps)
+        stats["time_s"] = round(time.time() - t0, 1)
+        clip_entry["videos"][method] = str(out_path)
+        clip_entry["metrics"][method] = stats
+        meta_path.write_text(json.dumps(metadata, indent=2))
+        print(f"  [{method}] psnr={stats['psnr']} time={stats['time_s']}s 100%")
+    print(f"Wrote {meta_path}")
+
+
+if __name__ == "__main__":
+    main()

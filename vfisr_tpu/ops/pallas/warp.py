@@ -5,22 +5,25 @@ Motivation (measured on v5e): XLA's element gather runs ~55 ms per
 an IFNet forward ~1.85 s — 98% of runtime. TPUs have no fast random
 gather; the TPU-native formulation replaces it with dense vector math:
 
-1. Host/jit side: absolute source coords are clamped (replicate border),
-   each output tile (th×tw) takes the *rounded mean* of its source rows /
-   cols as a window origin, and per-pixel residual coordinates within that
-   window are computed (pure vector ops).
-2. Kernel: per (n, c, tile): DMA the (th+2R+2)×(tw+2R+2) input window
-   HBM→VMEM at the tile's dynamic origin, then accumulate
-   out[p] = Σ_{a,b} hat(ry[p]-a)·hat(rx[p]-b) · win[p+(a,b)]
-   over the (2R+2)² relative shifts — every term is an (th,tw) vector FMA
-   on the VPU; bilinear's 4-tap structure is recovered because the hat
-   weights vanish except at the two integer neighbors.
+1. Host/jit side: absolute source coords are clamped (replicate border);
+   each output tile (th×tw) gets a window origin from the rounded mean of
+   its source coordinates. Origins obey Mosaic's DMA alignment (rows
+   8-aligned, cols 128-aligned): the row slack (0-7) folds into the
+   vertical residual loop, the column slack (0-127) is removed in-kernel
+   by a dynamic lane `pltpu.roll` of the window.
+2. Kernel per (n, c, tile): DMA the (64 × tw+256) input window HBM→VMEM at
+   the tile's dynamic aligned origin, roll columns by the slack, then
+   accumulate
+       out[p] = Σ_{a,b} hat(ry[p]-a)·hat(rx[p]-b) · win[p+(a,b)]
+   over (2r+10)×(2r+2) relative shifts — every term is a (th,tw) vector
+   FMA on the VPU; bilinear's 4-tap structure is recovered because the
+   hat weights vanish except at the two integer neighbors.
 
-Exactness: identical to bilinear gather whenever the per-pixel residual
-|src - tile_mean| ≤ R (flow deviation within a tile). Larger deviations
-clamp to the window edge (visually: slight smear at extreme motion
-boundaries). R is configurable; parity vs the exact gather warp is tested
-at tolerance in tests/test_pallas_warp.py.
+Exactness: identical to bilinear-gather warping wherever the per-pixel
+flow deviates from its tile mean by ≤ r px (default r=8). Larger
+deviations clamp to the window edge (slight smear strictly localized to
+extreme intra-tile motion discontinuities). Parity vs the exact gather
+warp is asserted in tests/test_pallas_warp.py.
 """
 
 from __future__ import annotations
@@ -36,46 +39,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _warp_kernel(
-    oy_ref,  # [N, TY, TX] int32 (scalar prefetch)
-    ox_ref,
+    oy_ref,  # [N, TY, TX] int32: 8-aligned window row origin
+    ox_ref,  # [N, TY, TX] int32: 128-aligned window col origin
+    sx_ref,  # [N, TY, TX] int32: column slack in [0, 127]
     img_ref,  # [N, C, H, W] in ANY (manual DMA)
-    ry_ref,  # [1, th, tw] residual row coord within window
-    rx_ref,
+    ry_ref,  # [1, th, tw] vertical residual in [0, 2r+9]
+    rx_ref,  # [1, th, tw] horizontal residual in [0, 2r+1]
     out_ref,  # [1, 1, th, tw]
-    win,  # VMEM scratch [Hw, Ww]
+    win,  # VMEM scratch [hw, ww]
     sem,
     *,
     th: int,
     tw: int,
     r: int,
+    hw: int,
+    ww: int,
 ):
     n = pl.program_id(0)
     c = pl.program_id(1)
     ty = pl.program_id(2)
     tx = pl.program_id(3)
-    hw = th + 2 * r + 2
-    ww = tw + 2 * r + 2
 
-    oy = oy_ref[n, ty, tx]
-    ox = ox_ref[n, ty, tx]
+    oy = pl.multiple_of(oy_ref[n, ty, tx], 8)
+    ox = pl.multiple_of(ox_ref[n, ty, tx], 128)
     copy = pltpu.make_async_copy(
-        img_ref.at[n, c, pl.ds(oy, hw), pl.ds(ox, ww)],
-        win,
-        sem,
+        img_ref.at[n, c, pl.ds(oy, hw), pl.ds(ox, ww)], win, sem
     )
     copy.start()
 
-    ry = ry_ref[0]  # [th, tw]
+    ry = ry_ref[0]
     rx = rx_ref[0]
     copy.wait()
 
+    rolled = pltpu.roll(win[:], -sx_ref[n, ty, tx], axis=1)
+
     acc = jnp.zeros((th, tw), jnp.float32)
-    nsh = 2 * r + 2
-    for a in range(nsh):
+    nsh_y = 2 * r + 10  # 2r+2 nominal + up to 7 rows of alignment slack
+    nsh_x = 2 * r + 2
+    for a in range(nsh_y):
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - a))
-        for b in range(nsh):
+        for b in range(nsh_x):
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - b))
-            acc = acc + (wy * wx) * win[a : a + th, b : b + tw]
+            acc = acc + (wy * wx) * rolled[a : a + th, b : b + tw]
     out_ref[0, 0] = acc
 
 
@@ -91,58 +96,66 @@ def warp_windowed(
 ) -> jnp.ndarray:
     """Backward-warp img by t·flow without gathers.
 
-    img: [N, H, W, C] float32; flow: [N, H, W, 2] (u=dx, v=dy).
+    img: [N, H, W, C] float; flow: [N, H, W, 2] (u=dx, v=dy).
     border: 'replicate' (grid_sample-style) or 'constant' (cv2.remap zeros).
     """
     n, h, w, c = img.shape
     th, tw = tile
-    # pad to tile multiples
-    ph = (-h) % th
-    pw = (-w) % tw
-    if ph or pw:
-        img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        flow = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    hw_win = ((th + 2 * r + 9) + 7) // 8 * 8  # rows: residual span + slack
+    ww_win = tw + 256  # cols: 128 slack + 18 residual, rounded into lanes
+
+    # pad so tiles divide evenly and windows fit
+    ph = max((-h) % th, hw_win - h if h < hw_win else 0)
+    pw = max((-w) % tw, ww_win - w if w < ww_win else 0)
+    if pw and (w + pw) % tw:
+        pw += tw - (w + pw) % tw
+    img_p = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge") if (ph or pw) else img
+    flow_p = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge") if (ph or pw) else flow
     hp, wp = h + ph, w + pw
     ty_n, tx_n = hp // th, wp // tw
-    hw_win = th + 2 * r + 2
-    ww_win = tw + 2 * r + 2
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (n, hp, wp), 1)
     xs = jax.lax.broadcasted_iota(jnp.float32, (n, hp, wp), 2)
-    sy_raw = ys + flow[..., 1] * t
-    sx_raw = xs + flow[..., 0] * t
+    sy_raw = ys + flow_p[..., 1] * t
+    sx_raw = xs + flow_p[..., 0] * t
     sy = jnp.clip(sy_raw, 0.0, hp - 1.0)
     sx = jnp.clip(sx_raw, 0.0, wp - 1.0)
 
-    # per-tile window origins from the rounded mean source coordinate
-    sy_t = sy.reshape(n, ty_n, th, tx_n, tw)
-    sx_t = sx.reshape(n, ty_n, th, tx_n, tw)
-    mean_y = jnp.mean(sy_t, axis=(2, 4))  # [N, TY, TX]
-    mean_x = jnp.mean(sx_t, axis=(2, 4))
-    oy = jnp.clip(
-        jnp.round(mean_y).astype(jnp.int32) - (th // 2 + r + 1), 0, hp - hw_win
+    # tile-mean displacements → window origins
+    mean_vy = jnp.mean(
+        (sy - ys).reshape(n, ty_n, th, tx_n, tw), axis=(2, 4)
+    )  # [N,TY,TX]
+    mean_vx = jnp.mean((sx - xs).reshape(n, ty_n, th, tx_n, tw), axis=(2, 4))
+    ty0 = (jnp.arange(ty_n) * th)[None, :, None]
+    tx0 = (jnp.arange(tx_n) * tw)[None, None, :]
+    oy_desired = ty0 + jnp.round(mean_vy).astype(jnp.int32) - (r + 1)
+    ox_desired = tx0 + jnp.round(mean_vx).astype(jnp.int32) - (r + 1)
+    oy_c = jnp.clip(oy_desired, 0, hp - hw_win)
+    ox_c = jnp.clip(ox_desired, 0, wp - ww_win)
+    oy8 = (oy_c // 8) * 8
+    ox128 = (ox_c // 128) * 128
+    slack_x = (ox_c - ox128).astype(jnp.int32)
+
+    # per-pixel residuals relative to (origin + local pixel position)
+    ly = jnp.mod(ys, th)
+    lx = jnp.mod(xs, tw)
+    oy_b = jnp.repeat(jnp.repeat(oy8, th, axis=1), tw, axis=2).reshape(n, hp, wp)
+    ox_b = jnp.repeat(jnp.repeat(ox_c, th, axis=1), tw, axis=2).reshape(n, hp, wp)
+    ry = jnp.clip(sy - oy_b - ly, 0.0, (2 * r + 10) - 1.001)
+    rx = jnp.clip(sx - ox_b - lx, 0.0, (2 * r + 2) - 1.001)
+
+    img_nchw = jnp.transpose(img_p, (0, 3, 1, 2)).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _warp_kernel, th=th, tw=tw, r=r, hw=hw_win, ww=ww_win
     )
-    ox = jnp.clip(
-        jnp.round(mean_x).astype(jnp.int32) - (tw // 2 + r + 1), 0, wp - ww_win
-    )
-
-    # per-pixel residual coords within the window (clamped into window)
-    oy_b = jnp.repeat(jnp.repeat(oy, th, axis=1), tw, axis=2).reshape(n, hp, wp)
-    ox_b = jnp.repeat(jnp.repeat(ox, th, axis=1), tw, axis=2).reshape(n, hp, wp)
-    ry = jnp.clip(sy - oy_b, 0.0, hw_win - 1.001)
-    rx = jnp.clip(sx - ox_b, 0.0, ww_win - 1.001)
-
-    img_nchw = jnp.transpose(img, (0, 3, 1, 2)).astype(jnp.float32)
-
-    grid = (n, c, ty_n, tx_n)
-    kernel = functools.partial(_warp_kernel, th=th, tw=tw, r=r)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
+            num_scalar_prefetch=3,
+            grid=(n, c, ty_n, tx_n),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # img (manual DMA)
+                pl.BlockSpec(memory_space=pl.ANY),  # img (manual DMA)
                 pl.BlockSpec(
                     (1, th, tw), lambda ni, ci, ti, xi, *refs: (ni, ti, xi),
                     memory_space=pltpu.VMEM,
@@ -161,9 +174,9 @@ def warp_windowed(
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n, c, ty_n * th, tx_n * tw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), jnp.float32),
         interpret=interpret,
-    )(oy, ox, img_nchw, ry, rx)
+    )(oy8, ox128, slack_x, img_nchw, ry, rx)
 
     out = jnp.transpose(out, (0, 2, 3, 1))
     if border == "constant":
