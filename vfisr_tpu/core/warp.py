@@ -89,6 +89,49 @@ def _base_grid(n: int, h: int, w: int, dtype) -> tuple[jnp.ndarray, jnp.ndarray]
     return ys, xs
 
 
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=1)
+def default_warp_backend() -> str:
+    """'pallas' on TPU (gathers are ~50ms/Mpx there), 'gather' elsewhere.
+
+    Override with VFISR_WARP_BACKEND=gather|pallas.
+    """
+    env = os.environ.get("VFISR_WARP_BACKEND")
+    if env in ("gather", "pallas"):
+        return env
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "tpu":
+            return "pallas"
+    except Exception:
+        pass
+    return "gather"
+
+
+def backward_warp(
+    img: jnp.ndarray,
+    flow: jnp.ndarray,
+    t: float | jnp.ndarray = 1.0,
+    border: str = "constant",
+    backend: str | None = None,
+) -> jnp.ndarray:
+    """Backend-dispatched backward warp: exact gather or the Pallas
+    windowed kernel (ops/pallas/warp.py) — numerically equal for flows
+    whose intra-tile deviation stays within the kernel's residual radius."""
+    backend = backend or default_warp_backend()
+    if border == "reflect":  # pallas kernel supports replicate/constant only
+        backend = "gather"
+    if backend == "pallas":
+        from vfisr_tpu.ops.pallas.warp import warp_windowed
+
+        return warp_windowed(img, flow, t, border=border)
+    return flow_warp(img, flow, t, border=border)
+
+
 def flow_warp(
     img: jnp.ndarray,
     flow: jnp.ndarray,

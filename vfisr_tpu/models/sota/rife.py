@@ -33,7 +33,7 @@ import numpy as np
 
 from vfisr_tpu.core.frames import from_batched, pad_to_multiple, to_batched, unpad
 from vfisr_tpu.core.resize import resize, scale_size
-from vfisr_tpu.core.warp import flow_warp
+from vfisr_tpu.core.warp import backward_warp
 from vfisr_tpu.models.base import BaseModel, ModelInfo
 
 
@@ -120,8 +120,8 @@ class IFNet(nn.Module):
             out = _resize_bilinear(out, (h, w))
             flow = flow + out[..., :4] * scale
             mask = mask + out[..., 4:5]
-            warped0 = flow_warp(img0, flow[..., 0:2], 1.0, border="replicate")
-            warped1 = flow_warp(img1, flow[..., 2:4], 1.0, border="replicate")
+            warped0 = backward_warp(img0, flow[..., 0:2], 1.0, border="replicate")
+            warped1 = backward_warp(img1, flow[..., 2:4], 1.0, border="replicate")
 
         m = nn.sigmoid(mask)
         merged = warped0 * m + warped1 * (1.0 - m)

@@ -30,7 +30,7 @@ import numpy as np
 
 from vfisr_tpu.core.frames import from_batched, pad_to_multiple, to_batched, unpad
 from vfisr_tpu.core.resize import resize, scale_size
-from vfisr_tpu.core.warp import flow_warp
+from vfisr_tpu.core.warp import backward_warp
 from vfisr_tpu.models.base import JointModel, ModelInfo
 
 
@@ -75,8 +75,8 @@ class SAFANet(nn.Module):
         flow = jnp.zeros((n, h4, w4, 4), img0.dtype)
         mask = jnp.zeros((n, h4, w4, 1), img0.dtype)
         for i in range(2):
-            w0 = flow_warp(f0, flow[..., 0:2], 1.0, border="replicate")
-            w1 = flow_warp(f1, flow[..., 2:4], 1.0, border="replicate")
+            w0 = backward_warp(f0, flow[..., 0:2], 1.0, border="replicate")
+            w1 = backward_warp(f1, flow[..., 2:4], 1.0, border="replicate")
             inp = jnp.concatenate([w0, w1, t_map4, mask, flow], axis=-1)
             hdd = _lrelu(conv(c, (3, 3), padding=1, name=f"flow{i}_a")(inp))
             hdd = _lrelu(conv(c, (3, 3), padding=1, name=f"flow{i}_b")(hdd)) + hdd
@@ -87,13 +87,13 @@ class SAFANet(nn.Module):
         # full-res flows
         flow_full = jax.image.resize(flow, (n, h, w, 4), "bilinear") * 4.0
         mask_full = nn.sigmoid(jax.image.resize(mask, (n, h, w, 1), "bilinear"))
-        warped0 = flow_warp(img0, flow_full[..., 0:2], 1.0, border="replicate")
-        warped1 = flow_warp(img1, flow_full[..., 2:4], 1.0, border="replicate")
+        warped0 = backward_warp(img0, flow_full[..., 0:2], 1.0, border="replicate")
+        warped1 = backward_warp(img1, flow_full[..., 2:4], 1.0, border="replicate")
         fused = warped0 * mask_full + warped1 * (1.0 - mask_full)
 
         # aggregate warped features, decode to 2x via pixel shuffle
-        wf0 = flow_warp(f0, flow[..., 0:2], 1.0, border="replicate")
-        wf1 = flow_warp(f1, flow[..., 2:4], 1.0, border="replicate")
+        wf0 = backward_warp(f0, flow[..., 0:2], 1.0, border="replicate")
+        wf1 = backward_warp(f1, flow[..., 2:4], 1.0, border="replicate")
         agg = jnp.concatenate([wf0, wf1, t_map4], axis=-1)
         d = _lrelu(conv(c, (3, 3), padding=1, name="dec_a")(agg))
         for i in range(self.num_dec_blocks):

@@ -38,7 +38,7 @@ import numpy as np
 
 from vfisr_tpu.core.frames import from_batched, pad_to_multiple, to_batched, unpad
 from vfisr_tpu.core.resize import resize, scale_size
-from vfisr_tpu.core.warp import flow_warp
+from vfisr_tpu.core.warp import backward_warp
 from vfisr_tpu.models.base import BaseModel, ModelInfo
 
 
@@ -192,8 +192,8 @@ class VFIMambaNet(nn.Module):
         out = jax.image.resize(out, (n, h, w, 5), "bilinear")
         flow = out[..., :4] * 8.0
         mask = nn.sigmoid(out[..., 4:5])
-        warped0 = flow_warp(img0, flow[..., 0:2], 1.0, border="replicate")
-        warped1 = flow_warp(img1, flow[..., 2:4], 1.0, border="replicate")
+        warped0 = backward_warp(img0, flow[..., 0:2], 1.0, border="replicate")
+        warped1 = backward_warp(img1, flow[..., 2:4], 1.0, border="replicate")
         merged = warped0 * mask + warped1 * (1.0 - mask)
 
         refine = nn.Sequential(

@@ -102,45 +102,57 @@ def warp_windowed(
     n, h, w, c = img.shape
     th, tw = tile
     hw_win = ((th + 2 * r + 9) + 7) // 8 * 8  # rows: residual span + slack
-    ww_win = tw + 256  # cols: 128 slack + 18 residual, rounded into lanes
+    # cols: tw + 128 slack + 2r+2 residual, rounded UP TO A POWER OF TWO —
+    # pltpu.roll with a dynamic shift miscompiles on non-power-of-2 lane
+    # widths (empirically: W=384 reads one lane-tile off; W=256/512 correct)
+    ww_min = tw + 128 + 2 * r + 2
+    ww_win = 1 << (ww_min - 1).bit_length()
 
-    # pad so tiles divide evenly and windows fit
-    ph = max((-h) % th, hw_win - h if h < hw_win else 0)
-    pw = max((-w) % tw, ww_win - w if w < ww_win else 0)
-    if pw and (w + pw) % tw:
-        pw += tw - (w + pw) % tw
-    img_p = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge") if (ph or pw) else img
-    flow_p = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge") if (ph or pw) else flow
-    hp, wp = h + ph, w + pw
-    ty_n, tx_n = hp // th, wp // tw
+    # Canvas padding sized so window origins are NEVER clipped: any tile's
+    # clamped source coords admit a window fully inside the canvas. Content
+    # sits at (PT, PL); tiles stay aligned to the content origin.
+    PT = ((th + r + 1 + th - 1) // th) * th
+    PL = ((tw + r + 1 + tw - 1) // tw) * tw
+    ph_c = (-h) % th  # content rounded up to tile multiples
+    pw_c = (-w) % tw
+    PB = hw_win
+    PR = ww_win
+    img_p = jnp.pad(
+        img, ((0, 0), (PT, ph_c + PB), (PL, pw_c + PR), (0, 0)), mode="edge"
+    )
+    flow_p = (
+        jnp.pad(flow, ((0, 0), (0, ph_c), (0, pw_c), (0, 0)), mode="edge")
+        if (ph_c or pw_c)
+        else flow
+    )
+    hc, wc = h + ph_c, w + pw_c  # content grid size (tile multiples)
+    hp, wp = img_p.shape[1], img_p.shape[2]  # full canvas
+    ty_n, tx_n = hc // th, wc // tw
 
-    ys = jax.lax.broadcasted_iota(jnp.float32, (n, hp, wp), 1)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (n, hp, wp), 2)
+    # coordinates in CANVAS space; clip to the content region (replicate)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (n, hc, wc), 1) + PT
+    xs = jax.lax.broadcasted_iota(jnp.float32, (n, hc, wc), 2) + PL
     sy_raw = ys + flow_p[..., 1] * t
     sx_raw = xs + flow_p[..., 0] * t
-    sy = jnp.clip(sy_raw, 0.0, hp - 1.0)
-    sx = jnp.clip(sx_raw, 0.0, wp - 1.0)
+    sy = jnp.clip(sy_raw, float(PT), PT + h - 1.0)
+    sx = jnp.clip(sx_raw, float(PL), PL + w - 1.0)
 
-    # tile-mean displacements → window origins
-    mean_vy = jnp.mean(
-        (sy - ys).reshape(n, ty_n, th, tx_n, tw), axis=(2, 4)
-    )  # [N,TY,TX]
+    # tile-mean displacements → window origins (never out of canvas)
+    mean_vy = jnp.mean((sy - ys).reshape(n, ty_n, th, tx_n, tw), axis=(2, 4))
     mean_vx = jnp.mean((sx - xs).reshape(n, ty_n, th, tx_n, tw), axis=(2, 4))
-    ty0 = (jnp.arange(ty_n) * th)[None, :, None]
-    tx0 = (jnp.arange(tx_n) * tw)[None, None, :]
-    oy_desired = ty0 + jnp.round(mean_vy).astype(jnp.int32) - (r + 1)
-    ox_desired = tx0 + jnp.round(mean_vx).astype(jnp.int32) - (r + 1)
-    oy_c = jnp.clip(oy_desired, 0, hp - hw_win)
-    ox_c = jnp.clip(ox_desired, 0, wp - ww_win)
+    ty0 = (PT + jnp.arange(ty_n) * th)[None, :, None]
+    tx0 = (PL + jnp.arange(tx_n) * tw)[None, None, :]
+    oy_c = ty0 + jnp.round(mean_vy).astype(jnp.int32) - (r + 1)
+    ox_c = tx0 + jnp.round(mean_vx).astype(jnp.int32) - (r + 1)
     oy8 = (oy_c // 8) * 8
     ox128 = (ox_c // 128) * 128
     slack_x = (ox_c - ox128).astype(jnp.int32)
 
     # per-pixel residuals relative to (origin + local pixel position)
-    ly = jnp.mod(ys, th)
-    lx = jnp.mod(xs, tw)
-    oy_b = jnp.repeat(jnp.repeat(oy8, th, axis=1), tw, axis=2).reshape(n, hp, wp)
-    ox_b = jnp.repeat(jnp.repeat(ox_c, th, axis=1), tw, axis=2).reshape(n, hp, wp)
+    ly = jnp.mod(ys - PT, th)
+    lx = jnp.mod(xs - PL, tw)
+    oy_b = jnp.repeat(jnp.repeat(oy8, th, axis=1), tw, axis=2).reshape(n, hc, wc)
+    ox_b = jnp.repeat(jnp.repeat(ox_c, th, axis=1), tw, axis=2).reshape(n, hc, wc)
     ry = jnp.clip(sy - oy_b - ly, 0.0, (2 * r + 10) - 1.001)
     rx = jnp.clip(sx - ox_b - lx, 0.0, (2 * r + 2) - 1.001)
 
@@ -174,15 +186,15 @@ def warp_windowed(
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, c, hc, wc), jnp.float32),
         interpret=interpret,
     )(oy8, ox128, slack_x, img_nchw, ry, rx)
 
     out = jnp.transpose(out, (0, 2, 3, 1))
     if border == "constant":
         valid = (
-            (sy_raw >= 0.0) & (sy_raw <= hp - 1.0)
-            & (sx_raw >= 0.0) & (sx_raw <= wp - 1.0)
+            (sy_raw >= float(PT)) & (sy_raw <= PT + h - 1.0)
+            & (sx_raw >= float(PL)) & (sx_raw <= PL + w - 1.0)
         )
         out = out * valid[..., None].astype(out.dtype)
     out = out[:, :h, :w]
