@@ -71,10 +71,14 @@ def _warp_kernel(
     rx = rx_ref[0]
     copy.wait()
 
-    rolled = pltpu.roll(win[:], -sx_ref[n, ty, tx], axis=1)
+    # remove both alignment slacks with dynamic rolls (window dims are
+    # powers of two — dynamic roll miscompiles otherwise)
+    sxy = sx_ref[n, ty, tx]  # packed: slack_y * 1024 + slack_x
+    rolled = pltpu.roll(win[:], -(sxy // 1024), axis=0)
+    rolled = pltpu.roll(rolled, -jnp.remainder(sxy, 1024), axis=1)
 
     acc = jnp.zeros((th, tw), jnp.float32)
-    nsh_y = 2 * r + 10  # 2r+2 nominal + up to 7 rows of alignment slack
+    nsh_y = 2 * r + 2
     nsh_x = 2 * r + 2
     for a in range(nsh_y):
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - a))
@@ -101,10 +105,11 @@ def warp_windowed(
     """
     n, h, w, c = img.shape
     th, tw = tile
-    hw_win = ((th + 2 * r + 9) + 7) // 8 * 8  # rows: residual span + slack
-    # cols: tw + 128 slack + 2r+2 residual, rounded UP TO A POWER OF TWO —
-    # pltpu.roll with a dynamic shift miscompiles on non-power-of-2 lane
-    # widths (empirically: W=384 reads one lane-tile off; W=256/512 correct)
+    # Window dims are powers of two: pltpu.roll with a dynamic shift
+    # miscompiles on non-power-of-2 dims (empirically: lane W=384 and
+    # sublane H=56/48 read one tile off; 64/256/512 correct).
+    hw_min = th + 2 * r + 2 + 7  # + up to 7 rows of 8-alignment slack
+    hw_win = 1 << (hw_min - 1).bit_length()
     ww_min = tw + 128 + 2 * r + 2
     ww_win = 1 << (ww_min - 1).bit_length()
 
@@ -146,14 +151,15 @@ def warp_windowed(
     ox_c = tx0 + jnp.round(mean_vx).astype(jnp.int32) - (r + 1)
     oy8 = (oy_c // 8) * 8
     ox128 = (ox_c // 128) * 128
-    slack_x = (ox_c - ox128).astype(jnp.int32)
+    # both alignment slacks ride one packed scalar (removed by in-kernel rolls)
+    slack = ((oy_c - oy8) * 1024 + (ox_c - ox128)).astype(jnp.int32)
 
-    # per-pixel residuals relative to (origin + local pixel position)
+    # per-pixel residuals relative to (unaligned origin + local position)
     ly = jnp.mod(ys - PT, th)
     lx = jnp.mod(xs - PL, tw)
-    oy_b = jnp.repeat(jnp.repeat(oy8, th, axis=1), tw, axis=2).reshape(n, hc, wc)
+    oy_b = jnp.repeat(jnp.repeat(oy_c, th, axis=1), tw, axis=2).reshape(n, hc, wc)
     ox_b = jnp.repeat(jnp.repeat(ox_c, th, axis=1), tw, axis=2).reshape(n, hc, wc)
-    ry = jnp.clip(sy - oy_b - ly, 0.0, (2 * r + 10) - 1.001)
+    ry = jnp.clip(sy - oy_b - ly, 0.0, (2 * r + 2) - 1.001)
     rx = jnp.clip(sx - ox_b - lx, 0.0, (2 * r + 2) - 1.001)
 
     img_nchw = jnp.transpose(img_p, (0, 3, 1, 2)).astype(jnp.float32)
@@ -188,7 +194,7 @@ def warp_windowed(
         ),
         out_shape=jax.ShapeDtypeStruct((n, c, hc, wc), jnp.float32),
         interpret=interpret,
-    )(oy8, ox128, slack_x, img_nchw, ry, rx)
+    )(oy8, ox128, slack, img_nchw, ry, rx)
 
     out = jnp.transpose(out, (0, 2, 3, 1))
     if border == "constant":
