@@ -126,10 +126,31 @@ def backward_warp(
     if border == "reflect":  # pallas kernel supports replicate/constant only
         backend = "gather"
     if backend == "pallas":
-        from vfisr_tpu.ops.pallas.warp import warp_windowed
-
-        return warp_windowed(img, flow, t, border=border)
+        return _pallas_warp_diff(img, flow, t, border)
     return flow_warp(img, flow, t, border=border)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_warp_diff(img, flow, t, border):
+    """Pallas forward with an exact-gather backward (the Pallas kernel has
+    no autodiff rule; the gather formulation's VJP is numerically the same
+    warp gradient)."""
+    from vfisr_tpu.ops.pallas.warp import warp_windowed
+
+    return warp_windowed(img, flow, t, border=border)
+
+
+def _pallas_warp_fwd(img, flow, t, border):
+    return _pallas_warp_diff(img, flow, t, border), (img, flow, t)
+
+
+def _pallas_warp_bwd(border, residuals, ct):
+    img, flow, t = residuals
+    _, vjp = jax.vjp(lambda i, f, tt: flow_warp(i, f, tt, border=border), img, flow, t)
+    return vjp(ct)
+
+
+_pallas_warp_diff.defvjp(_pallas_warp_fwd, _pallas_warp_bwd)
 
 
 def flow_warp(

@@ -65,8 +65,10 @@ def create_train_state(
     total_steps: int = 100_000,
     warmup_steps: int = 2000,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
+    warmup_steps = min(warmup_steps, max(total_steps // 10, 1))
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, learning_rate, warmup_steps, total_steps, learning_rate * 0.01
+        0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1),
+        learning_rate * 0.01,
     )
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
