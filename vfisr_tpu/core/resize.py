@@ -126,11 +126,54 @@ def _apply_axis(x: jnp.ndarray, idx: np.ndarray, w: np.ndarray, axis: int) -> jn
     )
 
 
+@functools.lru_cache(maxsize=256)
+def _dense_matrix_cached(in_size: int, out_size: int, method: str):
+    """Dense (out, in) resampling matrix — the MXU formulation."""
+    idx, w = _tap_table_cached(in_size, out_size, method)
+    import numpy as _np
+
+    dense = _np.zeros((out_size, in_size), _np.float32)
+    for o in range(out_size):
+        for k in range(idx.shape[1]):
+            dense[o, idx[o, k]] += w[o, k]
+    return dense
+
+
+@functools.lru_cache(maxsize=1)
+def _use_matmul_resize() -> bool:
+    """On TPU, resize as dense matmuls: the MXU runs the (mostly-zero)
+    dense formulation ~5-10x faster than the serial-gather tap path."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "method"))
 def _resize_f(x: jnp.ndarray, out_h: int, out_w: int, method: str) -> jnp.ndarray:
     h_axis = x.ndim - 3
     w_axis = x.ndim - 2
     in_h, in_w = x.shape[h_axis], x.shape[w_axis]
+    if _use_matmul_resize():
+        letters = "abcdefghij"
+        sub = letters[: x.ndim]
+        hs, ws_ = sub[h_axis], sub[w_axis]
+        # HIGH = 3-pass bf16 (~f24 mantissa): exact for 8-bit content at
+        # ~2x the speed of HIGHEST; DEFAULT single-pass bf16 would cost
+        # up to ~1 uint8 LSB.
+        if in_h != out_h:
+            m = jnp.asarray(_dense_matrix_cached(in_h, out_h, method))
+            x = jnp.einsum(
+                f"O{hs},{sub}->{sub.replace(hs, 'O')}", m, x,
+                precision=jax.lax.Precision.HIGH,
+            )
+        if in_w != out_w:
+            m = jnp.asarray(_dense_matrix_cached(in_w, out_w, method))
+            x = jnp.einsum(
+                f"O{ws_},{sub}->{sub.replace(ws_, 'O')}", m, x,
+                precision=jax.lax.Precision.HIGH,
+            )
+        return x
     if in_h != out_h:
         idx, w = _tap_table_cached(in_h, out_h, method)
         x = _apply_axis(x, idx, w, h_axis)

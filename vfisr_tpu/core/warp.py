@@ -118,6 +118,7 @@ def backward_warp(
     t: float | jnp.ndarray = 1.0,
     border: str = "constant",
     backend: str | None = None,
+    radius: int = 8,
 ) -> jnp.ndarray:
     """Backend-dispatched backward warp: exact gather or the Pallas
     windowed kernel (ops/pallas/warp.py) — numerically equal for flows
@@ -126,25 +127,25 @@ def backward_warp(
     if border == "reflect":  # pallas kernel supports replicate/constant only
         backend = "gather"
     if backend == "pallas":
-        return _pallas_warp_diff(img, flow, t, border)
+        return _pallas_warp_diff(img, flow, t, border, radius)
     return flow_warp(img, flow, t, border=border)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _pallas_warp_diff(img, flow, t, border):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pallas_warp_diff(img, flow, t, border, radius=8):
     """Pallas forward with an exact-gather backward (the Pallas kernel has
     no autodiff rule; the gather formulation's VJP is numerically the same
     warp gradient)."""
     from vfisr_tpu.ops.pallas.warp import warp_windowed
 
-    return warp_windowed(img, flow, t, border=border)
+    return warp_windowed(img, flow, t, r=radius, border=border)
 
 
-def _pallas_warp_fwd(img, flow, t, border):
-    return _pallas_warp_diff(img, flow, t, border), (img, flow, t)
+def _pallas_warp_fwd(img, flow, t, border, radius=8):
+    return _pallas_warp_diff(img, flow, t, border, radius), (img, flow, t)
 
 
-def _pallas_warp_bwd(border, residuals, ct):
+def _pallas_warp_bwd(border, radius, residuals, ct):
     img, flow, t = residuals
     _, vjp = jax.vjp(lambda i, f, tt: flow_warp(i, f, tt, border=border), img, flow, t)
     return vjp(ct)

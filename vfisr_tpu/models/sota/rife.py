@@ -50,6 +50,12 @@ class RIFEConfig:
     # fusion warps always run at full resolution).
     warp_at_level: bool = True
     min_warp_scale: int = 2
+    # Pallas-warp residual radii: kernel cost scales with (2r+2)^2. Level
+    # warps see smooth downsampled flows (r=4 suffices); the final full-res
+    # fusion warps get a wider radius. Training runs through the same warp,
+    # so the network adapts to the clamping behavior.
+    level_warp_radius: int = 4
+    final_warp_radius: int = 6
     dtype: jnp.dtype = jnp.float32
 
 
@@ -128,8 +134,14 @@ class IFNet(nn.Module):
                 rescale = sh / flow.shape[1]
                 flow = _resize_bilinear(flow, (sh, sw)) * rescale
                 mask = _resize_bilinear(mask, (sh, sw))
-                warped0 = backward_warp(img0_s, flow[..., 0:2], 1.0, border="replicate")
-                warped1 = backward_warp(img1_s, flow[..., 2:4], 1.0, border="replicate")
+                # both sides in ONE warp call (halves kernel dispatches)
+                pair = jnp.concatenate([img0_s, img1_s], axis=0)
+                pair_flow = jnp.concatenate([flow[..., 0:2], flow[..., 2:4]], axis=0)
+                warped = backward_warp(
+                    pair, pair_flow, 1.0, border="replicate",
+                    radius=cfg.level_warp_radius,
+                )
+                warped0, warped1 = warped[:n], warped[n:]
             inp = jnp.concatenate([warped0, warped1, t_map, mask, flow], axis=-1)
             # block sees its nominal pyramid scale relative to current res
             block_down = max(scale // ws, 1)
@@ -140,13 +152,17 @@ class IFNet(nn.Module):
             flow = flow + out[..., :4] * block_down
             mask = mask + out[..., 4:5]
 
-        # final full-resolution fusion warps
+        # final full-resolution fusion warps (both sides in one call)
         rescale = h / flow.shape[1]
         flow = _resize_bilinear(flow, (h, w)) * rescale
         mask = _resize_bilinear(mask, (h, w))
         t_map = jnp.broadcast_to(t_scalar, (n, h, w, 1))
-        warped0 = backward_warp(img0, flow[..., 0:2], 1.0, border="replicate")
-        warped1 = backward_warp(img1, flow[..., 2:4], 1.0, border="replicate")
+        pair = jnp.concatenate([img0, img1], axis=0)
+        pair_flow = jnp.concatenate([flow[..., 0:2], flow[..., 2:4]], axis=0)
+        warped = backward_warp(
+            pair, pair_flow, 1.0, border="replicate", radius=cfg.final_warp_radius
+        )
+        warped0, warped1 = warped[:n], warped[n:]
 
         m = nn.sigmoid(mask)
         merged = warped0 * m + warped1 * (1.0 - m)

@@ -94,7 +94,7 @@ def warp_windowed(
     flow: jnp.ndarray,
     t: float | jnp.ndarray = 1.0,
     r: int = 8,
-    tile: Tuple[int, int] = (32, 128),
+    tile: Tuple[int, int] = (32, 256),
     border: str = "replicate",
     interpret: bool = False,
 ) -> jnp.ndarray:
