@@ -120,6 +120,36 @@ class LPIPS:
             total = total + tap
         return total  # [N]
 
+    def _distance_map(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Spatial LPIPS map [N, H/4, W/4] (tap maps resized + summed)."""
+        fa = self._features(a)
+        fb = self._features(b)
+        target = fa[0].shape[1:3]
+        total = 0.0
+        for i, (xa, xb) in enumerate(zip(fa, fb)):
+            na = xa * jax.lax.rsqrt(jnp.sum(xa * xa, axis=-1, keepdims=True) + 1e-10)
+            nb = xb * jax.lax.rsqrt(jnp.sum(xb * xb, axis=-1, keepdims=True) + 1e-10)
+            d2 = (na - nb) ** 2
+            lin = jnp.asarray(self.params[f"lin{i}_w"])
+            tap = jnp.sum(d2 * lin, axis=-1, keepdims=True)
+            tap = jax.image.resize(tap, (tap.shape[0], *target, 1), "bilinear")
+            total = total + tap[..., 0]
+        return total
+
+    def flow_weighted(self, pred, gt, flow_mag: np.ndarray) -> np.ndarray:
+        """FloLPIPS-style distance: the spatial LPIPS map weighted by
+        normalized motion magnitude (Danier et al. 2022) — motion-salient
+        distortions count more. flow_mag: [H, W] or [N, H, W]."""
+        a = self._prep(pred)
+        b = self._prep(gt)
+        dmap = self._distance_map(a, b)  # [N, h', w']
+        m = jnp.asarray(flow_mag, jnp.float32)
+        if m.ndim == 2:
+            m = m[None]
+        m = jax.image.resize(m, dmap.shape, "bilinear")
+        wsum = jnp.sum(m, axis=(1, 2), keepdims=True) + 1e-8
+        return np.asarray(jnp.sum(dmap * m / wsum, axis=(1, 2)))
+
     # ---- public API ----
     def __call__(self, pred, gt) -> np.ndarray:
         """LPIPS distance per batch element. Accepts HWC uint8 or NHWC float."""

@@ -416,7 +416,32 @@ class QualityEvaluator:
             "ssim": compute_ssim_simple(pred, gt),
             "lpips": float(self._lpips(pred, gt)[0]),
         }
+        try:
+            from vfisr_tpu.ops.ssim import ms_ssim
+
+            pg = _to_gray(pred)
+            gg = _to_gray(gt)
+            if min(pg.shape[-2:]) >= 7 * 2**4:  # 5 dyadic scales need >=112px
+                results["ms_ssim"] = float(ms_ssim(jnp.asarray(pg), jnp.asarray(gg)))
+        except Exception:
+            pass
         return results
+
+    def evaluate_flolpips(
+        self, pred_frames: List[np.ndarray], gt_frames: List[np.ndarray]
+    ) -> Optional[float]:
+        """FloLPIPS over a sequence: LPIPS spatial maps weighted by GT motion
+        magnitude (the reference exposes this as an optional pyiqa metric,
+        metrics.py:146-150)."""
+        self._ensure_initialized()
+        if len(pred_frames) < 2 or len(pred_frames) != len(gt_frames):
+            return None
+        vals = []
+        for i in range(len(gt_frames) - 1):
+            flow = compute_optical_flow(gt_frames[i], gt_frames[i + 1])
+            mag = np.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+            vals.append(float(self._lpips.flow_weighted(pred_frames[i], gt_frames[i], mag)[0]))
+        return float(np.mean(vals))
 
     def evaluate(
         self, pred_frames: List[np.ndarray], gt_frames: List[np.ndarray]
@@ -427,16 +452,19 @@ class QualityEvaluator:
                 f"Number of predicted frames ({len(pred_frames)}) "
                 f"doesn't match ground truth ({len(gt_frames)})"
             )
-        psnr_values, ssim_values, lpips_values = [], [], []
+        psnr_values, ssim_values, lpips_values, ms_values = [], [], [], []
         for pred, gt in zip(pred_frames, gt_frames):
             m = self.evaluate_pair(pred, gt)
             psnr_values.append(m["psnr"])
             ssim_values.append(m["ssim"])
             lpips_values.append(m["lpips"])
+            if "ms_ssim" in m:
+                ms_values.append(m["ms_ssim"])
         return QualityResults(
             psnr=float(np.mean(psnr_values)),
             ssim=float(np.mean(ssim_values)),
             lpips=float(np.mean(lpips_values)),
+            ms_ssim=float(np.mean(ms_values)) if ms_values else None,
             psnr_per_frame=psnr_values,
             lpips_per_frame=lpips_values,
         )

@@ -222,7 +222,13 @@ class RIFEModel(BaseModel):
         )
 
     def load(self, weights_path: Optional[str] = None) -> None:
-        """Initialize (or load) IFNet parameters."""
+        """Initialize IFNet parameters; auto-loads weights/<name>.npz if present."""
+        import os
+
+        if weights_path is None:
+            default = f"weights/{'rife_lite' if 'Lite' in self.NAME else 'rife'}.npz"
+            if os.path.exists(default):
+                weights_path = default
         module = IFNet(self.CONFIG)
         rng = jax.random.PRNGKey(self.seed)
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)

@@ -238,6 +238,12 @@ class VFIMambaModel(BaseModel):
         return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(self.params)))
 
     def load(self, weights_path: Optional[str] = None) -> None:
+        import os
+
+        if weights_path is None:
+            default = f"weights/vfimamba{'_s' if self.variant != 'full' else ''}.npz"
+            if os.path.exists(default):
+                weights_path = default
         module = VFIMambaNet(self.cfg)
         rng = jax.random.PRNGKey(self.seed)
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)

@@ -67,6 +67,59 @@ def ssim(
     return out.reshape(orig_batch)
 
 
+@functools.partial(jax.jit, static_argnames=("win_size", "data_range", "levels"))
+def ms_ssim(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    win_size: int = 7,
+    data_range: float = 255.0,
+    levels: int = 5,
+) -> jnp.ndarray:
+    """Multi-scale SSIM (Wang et al. 2003): contrast/structure terms at 5
+    dyadic scales with the standard weights, luminance at the coarsest.
+    x, y: [..., H, W] gray in [0, 255]."""
+    weights = jnp.asarray([0.0448, 0.2856, 0.3001, 0.2363, 0.1333][:levels])
+    weights = weights / jnp.sum(weights)
+
+    orig_batch = x.shape[:-2]
+    h, w = x.shape[-2:]
+    a = x.reshape((-1, h, w, 1)).astype(jnp.float32)
+    b = y.reshape((-1, h, w, 1)).astype(jnp.float32)
+
+    import numpy as _np
+
+    win = _np.full((win_size, win_size), 1.0 / (win_size * win_size), _np.float32)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    np_win = win_size * win_size
+    cov_norm = np_win / (np_win - 1.0)
+
+    def stats(aa, bb):
+        f = lambda z: _depthwise_conv(z, jnp.asarray(win))
+        ux, uy = f(aa), f(bb)
+        vx = cov_norm * (f(aa * aa) - ux * ux)
+        vy = cov_norm * (f(bb * bb) - uy * uy)
+        vxy = cov_norm * (f(aa * bb) - ux * uy)
+        lum = (2 * ux * uy + c1) / (ux * ux + uy * uy + c1)
+        cs = (2 * vxy + c2) / (vx + vy + c2)
+        return jnp.mean(lum, axis=(1, 2, 3)), jnp.mean(cs, axis=(1, 2, 3))
+
+    total = jnp.ones((a.shape[0],))
+    for lvl in range(levels):
+        lum, cs = stats(a, b)
+        if lvl == levels - 1:
+            total = total * jnp.abs(lum * cs) ** weights[lvl]
+        else:
+            total = total * jnp.abs(cs) ** weights[lvl]
+            # 2x2 average-pool downsample
+            def pool(z):
+                n_, hh, ww, _ = z.shape
+                hh2, ww2 = hh // 2, ww // 2
+                return z[:, : hh2 * 2, : ww2 * 2].reshape(n_, hh2, 2, ww2, 2, 1).mean((2, 4))
+            a, b = pool(a), pool(b)
+    return total.reshape(orig_batch)
+
+
 @jax.jit
 def ssim_global(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Global-statistics SSIM (run_experiments.py:304-312), clamped to [0,1].
