@@ -42,6 +42,8 @@ def main():
     H, W = 1080, 1920
     OUT_H, OUT_W = 1440, 2560
     TS = (0.25, 0.5, 0.75)
+    PAIRS = 4  # frame pairs per device step (offline throughput, like the
+    # reference's 147-pair sweep; VPU/MXU utilization improves with batch)
 
     cfg = RIFEConfig()
     module = IFNet(cfg)
@@ -53,16 +55,16 @@ def main():
     )["params"]
 
     def pipeline_step(x0, x1):
-        """One 30fps input pair -> (four 1440p uint8 frames, 1080p mids)."""
+        """PAIRS 30fps input pairs -> 4·PAIRS 1440p uint8 frames."""
         x0p, _ = pad_to_multiple(x0, 32)
         x1p, _ = pad_to_multiple(x1, 32)
         t = len(TS)
-        x0r = jnp.repeat(x0p, t, axis=0)
+        x0r = jnp.repeat(x0p, t, axis=0)  # [PAIRS*t, ...]
         x1r = jnp.repeat(x1p, t, axis=0)
-        ts = jnp.asarray(TS, x0.dtype)
+        ts = jnp.tile(jnp.asarray(TS, x0.dtype), (PAIRS,))
         merged, _, _ = module.apply({"params": params}, x0r, x1r, ts)
         mids = unpad(merged, H, W)
-        frames = jnp.concatenate([x0, mids], axis=0)  # [4, H, W, 3]
+        frames = jnp.concatenate([x0, mids], axis=0)  # [4*PAIRS, H, W, 3]
         up = to_uint8(resize(frames, (OUT_H, OUT_W), "lanczos4"))
         return up, mids
 
@@ -72,8 +74,8 @@ def main():
             def body(_, carry):
                 x0c, x1c, acc = carry
                 up, mids = pipeline_step(x0c, x1c)
-                # data dependence: next pair continues from the last midpoint
-                nxt = mids[2:3]
+                # data dependence: next batch continues from midpoints
+                nxt = mids[2 :: len(TS)][:PAIRS]
                 return (nxt, x1c, acc + jnp.sum(up[0, ::409, ::409, 0].astype(jnp.float32)))
 
             _, _, acc = jax.lax.fori_loop(
@@ -84,10 +86,10 @@ def main():
         return run
 
     rng = np.random.default_rng(0)
-    f0 = jnp.asarray(rng.random((1, H, W, 3), np.float32))
-    f1 = jnp.asarray(rng.random((1, H, W, 3), np.float32))
+    f0 = jnp.asarray(rng.random((PAIRS, H, W, 3), np.float32))
+    f1 = jnp.asarray(rng.random((PAIRS, H, W, 3), np.float32))
 
-    k1, k2 = 4, 24
+    k1, k2 = 2, 10
     run_k1 = chained(k1)
     run_k2 = chained(k2)
     # warmup / compile
@@ -105,7 +107,7 @@ def main():
     t1 = best_time(run_k1)
     t2 = best_time(run_k2)
     per_step = (t2 - t1) / (k2 - k1)
-    interp_fps = len(TS) / per_step if per_step > 0 else float("inf")
+    interp_fps = len(TS) * PAIRS / per_step if per_step > 0 else float("inf")
 
     print(
         json.dumps(

@@ -1,0 +1,86 @@
+"""Harness tests: experiment runner semantics + checkpoint/resume."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vfisr_tpu.harness.experiments import (
+    EXPERIMENTS,
+    ExperimentCheckpoint,
+    LIGHT_EXPERIMENTS,
+    QUALITY_LEVELS,
+    generate_quality_experiments,
+    run_experiment,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_interval():
+    import cv2
+
+    rng = np.random.default_rng(2)
+    base = cv2.resize(rng.integers(0, 256, (18, 32, 3), np.uint8), (256, 144),
+                      interpolation=cv2.INTER_CUBIC)
+    keyframes = [np.roll(base, 2 * i, axis=1) for i in range(4)]
+    midpoints = [np.roll(base, 2 * i + 1, axis=1) for i in range(3)]
+    return keyframes, midpoints
+
+
+def _tiny_exp(name="lanczos_blend", **over):
+    exp = next(e for e in EXPERIMENTS if e["name"] == name).copy()
+    exp["quality_resolution"] = (320, 180)
+    exp["quality_fps"] = 60
+    exp.update(over)
+    return exp
+
+
+class TestRunExperiment:
+    def test_linear_blend_result_schema(self, tiny_interval):
+        kf, mids = tiny_interval
+        result = run_experiment(kf, mids, _tiny_exp(), verbose=False)
+        # reference result-dict keys (run_experiments.py:1042-1079)
+        for key in ("name", "frames", "time_s", "keyframe_psnr_db", "vfi_psnr_db",
+                    "overall_psnr_db", "rife_frames_pct", "realtime_x",
+                    "vfi_frames_evaluated", "quality_level", "vfi_method"):
+            assert key in result, key
+        # 4 keyframes + 3 pairs x 3 mids = 13 frames
+        assert result["frames"] == 13
+        assert result["vfi_frames_evaluated"] == 3
+        assert isinstance(result["vfi_psnr_db"], (int, float))
+
+    def test_overall_weighting(self, tiny_interval):
+        kf, mids = tiny_interval
+        r = run_experiment(kf, mids, _tiny_exp(), verbose=False)
+        expected = 0.25 * r["keyframe_psnr_db"] + 0.75 * r["vfi_psnr_db"]
+        assert r["overall_psnr_db"] == pytest.approx(expected, abs=0.02)
+
+    def test_control_skips_vfi_eval(self, tiny_interval):
+        kf, mids = tiny_interval
+        r = run_experiment(kf, mids, _tiny_exp("control"), verbose=False)
+        assert r["vfi_frames_evaluated"] == 0
+        assert r["keyframe_psnr_db"] == "inf"  # control == reference
+
+    def test_frame_dup_is_worst(self, tiny_interval):
+        kf, mids = tiny_interval
+        blend = run_experiment(kf, mids, _tiny_exp("lanczos_blend"), verbose=False)
+        dup = run_experiment(kf, mids, _tiny_exp("degraded"), verbose=False)
+        assert blend["vfi_psnr_db"] >= dup["vfi_psnr_db"]
+
+
+def test_quality_matrix():
+    exps = generate_quality_experiments(LIGHT_EXPERIMENTS[:2])
+    assert len(exps) == 2 * len(QUALITY_LEVELS)
+    assert any(e["name"].endswith("_4K@120") for e in exps)
+
+
+def test_checkpoint_resume(tmp_path):
+    path = tmp_path / "experiment_results.json"
+    ck = ExperimentCheckpoint(path)
+    ck.append({"name": "a", "interval_idx": 0})
+    ck.append({"name": "b", "interval_idx": 1})
+    # reload from disk
+    ck2 = ExperimentCheckpoint(path)
+    assert ck2.completed_keys() == {("a", 0), ("b", 1)}
+    data = json.loads(path.read_text())
+    assert len(data["experiments"]) == 2
