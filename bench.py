@@ -42,7 +42,7 @@ def main():
     H, W = 1080, 1920
     OUT_H, OUT_W = 1440, 2560
     TS = (0.25, 0.5, 0.75)
-    PAIRS = 4  # frame pairs per device step (offline throughput, like the
+    PAIRS = 1  # frame pairs per device step (offline throughput, like the
     # reference's 147-pair sweep; VPU/MXU utilization improves with batch)
 
     cfg = RIFEConfig()

@@ -82,8 +82,14 @@ class IFBlock(nn.Module):
         feat = h
         for _ in range(self.num_convs):
             feat = _lrelu(conv(self.c, (3, 3), padding=1)(feat)) + feat
-        # transpose-conv x2, then bilinear x2 back to block input res
-        out = nn.ConvTranspose(5, (4, 4), strides=(2, 2), padding=1, dtype=self.dtype)(feat)
+        # transpose-conv x2, then bilinear x2 back to block input res.
+        # Zero-init: the block starts by predicting zero flow/mask delta, so
+        # an untrained IFNet degenerates to a clean 50/50 blend instead of
+        # warping by random flows (critical for trainability).
+        out = nn.ConvTranspose(
+            5, (4, 4), strides=(2, 2), padding=1, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+        )(feat)
         out = _resize_bilinear(out, (x.shape[-3], x.shape[-2]))
         return out  # [..., 5]: flow delta (4) + mask delta (1)
 
@@ -99,7 +105,9 @@ class RefineNet(nn.Module):
         conv = functools.partial(nn.Conv, dtype=self.dtype)
         h = _lrelu(conv(self.c, (3, 3), padding=1)(x))
         h = _lrelu(conv(self.c, (3, 3), padding=1)(h))
-        return jnp.tanh(conv(3, (3, 3), padding=1)(h)) * (1.0 / 16.0)
+        return jnp.tanh(
+            conv(3, (3, 3), padding=1, kernel_init=nn.initializers.zeros)(h)
+        ) * (1.0 / 16.0)
 
 
 class IFNet(nn.Module):

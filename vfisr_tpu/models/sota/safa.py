@@ -80,7 +80,8 @@ class SAFANet(nn.Module):
             inp = jnp.concatenate([w0, w1, t_map4, mask, flow], axis=-1)
             hdd = _lrelu(conv(c, (3, 3), padding=1, name=f"flow{i}_a")(inp))
             hdd = _lrelu(conv(c, (3, 3), padding=1, name=f"flow{i}_b")(hdd)) + hdd
-            out = conv(5, (3, 3), padding=1, name=f"flow{i}_head")(hdd)
+            out = conv(5, (3, 3), padding=1, name=f"flow{i}_head",
+                       kernel_init=nn.initializers.zeros)(hdd)
             flow = flow + out[..., :4]
             mask = mask + out[..., 4:5]
 
@@ -102,7 +103,8 @@ class SAFANet(nn.Module):
         d = jax.image.resize(d, (n, h, w, c), "bilinear")
         d = jnp.concatenate([d, fused, warped0, warped1], axis=-1)
         d = _lrelu(conv(c, (3, 3), padding=1, name="dec_c")(d))
-        out = conv(3 * 4, (3, 3), padding=1, name="ps_head")(d)
+        out = conv(3 * 4, (3, 3), padding=1, name="ps_head",
+                   kernel_init=nn.initializers.zeros)(d)
         out = out.reshape(n, h, w, 2, 2, 3)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * 2, w * 2, 3)
         base = jax.image.resize(fused, (n, h * 2, w * 2, 3), "bilinear")

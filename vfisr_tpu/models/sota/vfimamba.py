@@ -185,7 +185,8 @@ class VFIMambaNet(nn.Module):
 
         merged_feat = x.reshape(n, h8, w8, 2 * cfg.d_model)
         dec = nn.Sequential(
-            [conv(128, (3, 3), padding=1), nn.silu, conv(5, (3, 3), padding=1)],
+            [conv(128, (3, 3), padding=1), nn.silu,
+             conv(5, (3, 3), padding=1, kernel_init=nn.initializers.zeros)],
             name="decoder",
         )
         out = dec(merged_feat)  # flow(4) + mask(1) at 1/8
@@ -197,7 +198,8 @@ class VFIMambaNet(nn.Module):
         merged = warped0 * mask + warped1 * (1.0 - mask)
 
         refine = nn.Sequential(
-            [conv(32, (3, 3), padding=1), nn.silu, conv(3, (3, 3), padding=1)],
+            [conv(32, (3, 3), padding=1), nn.silu,
+             conv(3, (3, 3), padding=1, kernel_init=nn.initializers.zeros)],
             name="refine",
         )
         res = jnp.tanh(refine(jnp.concatenate([merged, warped0, warped1], axis=-1)))

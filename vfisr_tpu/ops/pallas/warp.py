@@ -39,9 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _warp_kernel(
-    oy_ref,  # [N, TY, TX] int32: 8-aligned window row origin
-    ox_ref,  # [N, TY, TX] int32: 128-aligned window col origin
-    sx_ref,  # [N, TY, TX] int32: column slack in [0, 127]
+    packed_ref,  # [N, TY, TX] int32: oy/8<<16 | ox/128<<10 | sy<<7 | sx
     img_ref,  # [N, C, H, W] in ANY (manual DMA)
     ry_ref,  # [1, th, tw] vertical residual in [0, 2r+9]
     rx_ref,  # [1, th, tw] horizontal residual in [0, 2r+1]
@@ -60,8 +58,9 @@ def _warp_kernel(
     ty = pl.program_id(2)
     tx = pl.program_id(3)
 
-    oy = pl.multiple_of(oy_ref[n, ty, tx], 8)
-    ox = pl.multiple_of(ox_ref[n, ty, tx], 128)
+    packed = packed_ref[n, ty, tx]
+    oy = pl.multiple_of((packed >> 16) * 8, 8)
+    ox = pl.multiple_of(((packed >> 10) & 0x3F) * 128, 128)
     copy = pltpu.make_async_copy(
         img_ref.at[n, c, pl.ds(oy, hw), pl.ds(ox, ww)], win, sem
     )
@@ -73,9 +72,8 @@ def _warp_kernel(
 
     # remove both alignment slacks with dynamic rolls (window dims are
     # powers of two — dynamic roll miscompiles otherwise)
-    sxy = sx_ref[n, ty, tx]  # packed: slack_y * 1024 + slack_x
-    rolled = pltpu.roll(win[:], -(sxy // 1024), axis=0)
-    rolled = pltpu.roll(rolled, -jnp.remainder(sxy, 1024), axis=1)
+    rolled = pltpu.roll(win[:], -((packed >> 7) & 0x7), axis=0)
+    rolled = pltpu.roll(rolled, -(packed & 0x7F), axis=1)
 
     acc = jnp.zeros((th, tw), jnp.float32)
     nsh_y = 2 * r + 2
@@ -151,8 +149,12 @@ def warp_windowed(
     ox_c = tx0 + jnp.round(mean_vx).astype(jnp.int32) - (r + 1)
     oy8 = (oy_c // 8) * 8
     ox128 = (ox_c // 128) * 128
-    # both alignment slacks ride one packed scalar (removed by in-kernel rolls)
-    slack = ((oy_c - oy8) * 1024 + (ox_c - ox128)).astype(jnp.int32)
+    # all origin/slack scalars packed into ONE int32 per tile (SMEM-bound:
+    # scalar-prefetch tables live in the 1MB SMEM)
+    packed = (
+        (oy8 // 8) * 65536 + (ox128 // 128) * 1024
+        + (oy_c - oy8) * 128 + (ox_c - ox128)
+    ).astype(jnp.int32)
 
     # per-pixel residuals relative to (unaligned origin + local position)
     ly = jnp.mod(ys - PT, th)
@@ -170,7 +172,7 @@ def warp_windowed(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=1,
             grid=(n, c, ty_n, tx_n),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # img (manual DMA)
@@ -194,7 +196,7 @@ def warp_windowed(
         ),
         out_shape=jax.ShapeDtypeStruct((n, c, hc, wc), jnp.float32),
         interpret=interpret,
-    )(oy8, ox128, slack, img_nchw, ry, rx)
+    )(packed, img_nchw, ry, rx)
 
     out = jnp.transpose(out, (0, 2, 3, 1))
     if border == "constant":
