@@ -10,7 +10,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     parser = argparse.ArgumentParser(description="Run VFI+SR experiments on cached intervals")
-    parser.add_argument("--clip", required=True, help="Registered clip id")
+    parser.add_argument("--clip", default=None, help="Registered clip id (cached mode)")
+    parser.add_argument("--raw", default=None, help="Raw video path (legacy mode)")
+    parser.add_argument("--start", type=float, default=0.0,
+                        help="Legacy mode: start offset seconds")
+    parser.add_argument("--duration", type=float, default=5.0,
+                        help="Legacy mode: clip duration seconds")
     parser.add_argument("--intervals", default="0",
                         help="Comma-separated interval indices (default: 0)")
     parser.add_argument("--experiment", default=None,
@@ -51,6 +56,35 @@ def main():
     else:
         experiments = LIGHT_EXPERIMENTS + (HEAVY_EXPERIMENTS if args.heavy else [])
 
+    if args.raw:
+        from vfisr_tpu.harness.experiments import (
+            ExperimentCheckpoint,
+            generate_reference,
+            run_experiment,
+            summarize,
+        )
+        from pathlib import Path as _P
+
+        keyframes, midpoints = generate_reference(args.raw, args.start, args.duration)
+        out_dir = _P(args.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        checkpoint = ExperimentCheckpoint(out_dir / "experiment_results.json")
+        done = checkpoint.completed_keys() if args.resume else set()
+        for experiment in experiments:
+            if (experiment["name"], 0) in done:
+                print(f"  [skip] {experiment['name']} (done)")
+                continue
+            print(f"  Running {experiment['name']} (legacy mode)...")
+            result = run_experiment(keyframes[: args.max_frames or None], midpoints,
+                                    experiment, verbose=False)
+            result["interval_idx"] = 0
+            result["source"] = args.raw
+            checkpoint.append(result)
+            print(f"    VFI_PSNR: {result['vfi_psnr_db']} | {result['time_s']}s")
+        print("\n" + summarize(checkpoint.data))
+        return
+    if not args.clip:
+        raise SystemExit("need --clip (cached mode) or --raw (legacy mode)")
     intervals = [int(i) for i in args.intervals.split(",")]
     results = run_experiment_sweep(
         clip_id=args.clip,

@@ -131,6 +131,42 @@ def _flow_half_res(prev_gray, curr_gray, out_w, out_h):
     return cv2.resize(fl, (out_w, out_h)) * 2
 
 
+def generate_reference(
+    video_path: str,
+    start_s: float,
+    duration: float = 5.0,
+    output_resolution=(1920, 1080),
+    extract_midpoints: bool = True,
+):
+    """Legacy-mode reference extraction from a raw video
+    (reference run_experiments.py:611-666): crop 16:9 → Lanczos resize;
+    even frames → keyframes, odd → GT midpoints. Returns (keyframes,
+    midpoints) as RGB uint8 lists."""
+    from vfisr_tpu.data.extract_intervals import crop16_9
+
+    cap = cv2.VideoCapture(str(video_path))
+    if not cap.isOpened():
+        raise RuntimeError(f"cannot open {video_path}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    cap.set(cv2.CAP_PROP_POS_FRAMES, int(start_s * fps))
+    needed = int(duration * fps)
+    keyframes, midpoints = [], []
+    for idx in range(needed):
+        ret, frame = cap.read()
+        if not ret:
+            break
+        frame = crop16_9(frame)
+        if (frame.shape[1], frame.shape[0]) != output_resolution:
+            frame = cv2.resize(frame, output_resolution, interpolation=cv2.INTER_LANCZOS4)
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if idx % 2 == 0:
+            keyframes.append(rgb)
+        elif extract_midpoints:
+            midpoints.append(rgb)
+    cap.release()
+    return keyframes, midpoints
+
+
 class GracefulShutdown:
     """Two-stage SIGINT/SIGTERM handler (run_experiments.py:128-140)."""
 
