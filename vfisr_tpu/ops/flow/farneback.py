@@ -119,25 +119,15 @@ def _update_matrices(R0: jnp.ndarray, R1: jnp.ndarray, flow: jnp.ndarray) -> jnp
     x1i = x1.astype(jnp.int32)
     y1i = y1.astype(jnp.int32)
     inb = (x1i >= 0) & (x1i < w - 1) & (y1i >= 0) & (y1i < h - 1)
-    x1c = jnp.clip(x1i, 0, w - 2)
-    y1c = jnp.clip(y1i, 0, h - 2)
 
-    flatR1 = R1.reshape(n, h * w, 5)
+    # Bilinear fetch of R1 at x+flow via the dispatched warp (Pallas
+    # windowed kernel on TPU, gather elsewhere). Out-of-bounds pixels are
+    # fully overridden by the `inb` masking below, so only in-bounds
+    # samples need to be exact (replicate border matches the reference's
+    # corner clipping for those).
+    from vfisr_tpu.core.warp import backward_warp
 
-    def fetch(yy, xx):
-        lin = (yy * w + xx).reshape(n, -1, 1)
-        return jnp.take_along_axis(flatR1, lin, axis=1).reshape(n, h, w, 5)
-
-    a00 = ((1 - ffx) * (1 - ffy))[..., None]
-    a01 = (ffx * (1 - ffy))[..., None]
-    a10 = ((1 - ffx) * ffy)[..., None]
-    a11 = (ffx * ffy)[..., None]
-    R1w = (
-        a00 * fetch(y1c, x1c)
-        + a01 * fetch(y1c, x1c + 1)
-        + a10 * fetch(y1c + 1, x1c)
-        + a11 * fetch(y1c + 1, x1c + 1)
-    )
+    R1w = backward_warp(R1, flow, 1.0, border="replicate")
 
     inbf = inb[..., None].astype(R0.dtype)
     # In-bounds: average A with warped; out-of-bounds: keep R0's A (and the
