@@ -41,3 +41,16 @@ def test_constant_border_masks_outside(small_case):
     flow = jnp.full((*img.shape[:3], 2), 300.0)  # everything out of range
     out = np.asarray(warp_windowed(img, flow, 1.0, r=8, border="constant", interpret=True))
     assert np.abs(out).max() == 0.0
+
+
+def test_bf16_window_close_to_f32(small_case):
+    img, flow = small_case
+    ref = np.asarray(flow_warp(img, flow, 1.0, border="replicate"))
+    out = np.asarray(
+        warp_windowed(
+            img, flow, 1.0, r=8, interpret=True, compute_dtype=jnp.bfloat16
+        )
+    )
+    # window + weights in bf16: worst case ~2 bf16 ulps of the pixel
+    # (≈56 dB PSNR noise floor — far below any VFI quality level)
+    assert np.abs(ref - out).max() < 2.0 / 255.0

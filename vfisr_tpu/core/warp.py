@@ -119,33 +119,41 @@ def backward_warp(
     border: str = "constant",
     backend: str | None = None,
     radius: int = 8,
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """Backend-dispatched backward warp: exact gather or the Pallas
     windowed kernel (ops/pallas/warp.py) — numerically equal for flows
-    whose intra-tile deviation stays within the kernel's residual radius."""
+    whose intra-tile deviation stays within the kernel's residual radius.
+    compute_dtype=bfloat16 halves the Pallas kernel's DMA/roll volume at a
+    ~2-ulp (≈56 dB) noise floor — for model-internal warps only."""
     backend = backend or default_warp_backend()
     if border == "reflect":  # pallas kernel supports replicate/constant only
         backend = "gather"
     if backend == "pallas":
-        return _pallas_warp_diff(img, flow, t, border, radius)
+        return _pallas_warp_diff(img, flow, t, border, radius, compute_dtype)
     return flow_warp(img, flow, t, border=border)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _pallas_warp_diff(img, flow, t, border, radius=8):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _pallas_warp_diff(img, flow, t, border, radius=8, compute_dtype=jnp.float32):
     """Pallas forward with an exact-gather backward (the Pallas kernel has
     no autodiff rule; the gather formulation's VJP is numerically the same
     warp gradient)."""
     from vfisr_tpu.ops.pallas.warp import warp_windowed
 
-    return warp_windowed(img, flow, t, r=radius, border=border)
+    return warp_windowed(
+        img, flow, t, r=radius, border=border, compute_dtype=compute_dtype
+    )
 
 
-def _pallas_warp_fwd(img, flow, t, border, radius=8):
-    return _pallas_warp_diff(img, flow, t, border, radius), (img, flow, t)
+def _pallas_warp_fwd(img, flow, t, border, radius=8, compute_dtype=jnp.float32):
+    return (
+        _pallas_warp_diff(img, flow, t, border, radius, compute_dtype),
+        (img, flow, t),
+    )
 
 
-def _pallas_warp_bwd(border, radius, residuals, ct):
+def _pallas_warp_bwd(border, radius, compute_dtype, residuals, ct):
     img, flow, t = residuals
     _, vjp = jax.vjp(lambda i, f, tt: flow_warp(i, f, tt, border=border), img, flow, t)
     return vjp(ct)

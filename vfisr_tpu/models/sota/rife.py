@@ -57,6 +57,11 @@ class RIFEConfig:
     level_warp_radius: int = 4
     final_warp_radius: int = 6
     dtype: jnp.dtype = jnp.float32
+    # Pallas-warp window dtype: bf16 would halve the warp kernel's DMA +
+    # roll volume at a ~2-ulp (≈56 dB) noise floor, but Mosaic's dynamic
+    # rotate is 32-bit-only ("Rotate with non-32-bit data") — keep f32
+    # until the bitcast-roll path lands.
+    warp_dtype: jnp.dtype = jnp.float32
 
 
 def _lrelu(x):
@@ -65,6 +70,24 @@ def _lrelu(x):
 
 def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(x, (*x.shape[:-3], *hw, x.shape[-1]), "bilinear")
+
+
+def _halve(x: jnp.ndarray) -> jnp.ndarray:
+    """2×2 mean pool — the pyramid downsample (cheap reshape-reduce; no
+    full-res matmul resize per level)."""
+    n, h, w, c = x.shape
+    return x.reshape(n, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+def _build_pyramid(x: jnp.ndarray, max_down: int) -> dict:
+    """{1: x, 2: x/2, ...} by successive halving; each level reads only the
+    previous one (vs. resizing from full resolution per pyramid level)."""
+    pyr = {1: x}
+    s = 1
+    while s < max_down:
+        pyr[s * 2] = _halve(pyr[s])
+        s *= 2
+    return pyr
 
 
 class IFBlock(nn.Module):
@@ -125,14 +148,21 @@ class IFNet(nn.Module):
         n, h, w, _ = img0.shape
         t_scalar = jnp.reshape(jnp.asarray(timestep, img0.dtype), (-1, 1, 1, 1))
 
+        ws_list = [
+            max(s, cfg.min_warp_scale) if cfg.warp_at_level else 1
+            for s in cfg.scales
+        ]
+        pyr0 = _build_pyramid(img0, max(ws_list))
+        pyr1 = _build_pyramid(img1, max(ws_list))
+
         flow = None  # [N, sh, sw, 4] in that level's pixel units
         mask = None
 
         for i, scale in enumerate(cfg.scales):
-            ws = max(scale, cfg.min_warp_scale) if cfg.warp_at_level else 1
+            ws = ws_list[i]
             sh, sw = max(h // ws, 1), max(w // ws, 1)
-            img0_s = _resize_bilinear(img0, (sh, sw))
-            img1_s = _resize_bilinear(img1, (sh, sw))
+            img0_s = pyr0[ws]
+            img1_s = pyr1[ws]
             t_map = jnp.broadcast_to(t_scalar, (n, sh, sw, 1))
             if flow is None:
                 flow = jnp.zeros((n, sh, sw, 4), img0.dtype)
@@ -147,7 +177,7 @@ class IFNet(nn.Module):
                 pair_flow = jnp.concatenate([flow[..., 0:2], flow[..., 2:4]], axis=0)
                 warped = backward_warp(
                     pair, pair_flow, 1.0, border="replicate",
-                    radius=cfg.level_warp_radius,
+                    radius=cfg.level_warp_radius, compute_dtype=cfg.warp_dtype,
                 )
                 warped0, warped1 = warped[:n], warped[n:]
             inp = jnp.concatenate([warped0, warped1, t_map, mask, flow], axis=-1)
@@ -168,7 +198,8 @@ class IFNet(nn.Module):
         pair = jnp.concatenate([img0, img1], axis=0)
         pair_flow = jnp.concatenate([flow[..., 0:2], flow[..., 2:4]], axis=0)
         warped = backward_warp(
-            pair, pair_flow, 1.0, border="replicate", radius=cfg.final_warp_radius
+            pair, pair_flow, 1.0, border="replicate",
+            radius=cfg.final_warp_radius, compute_dtype=cfg.warp_dtype,
         )
         warped0, warped1 = warped[:n], warped[n:]
 

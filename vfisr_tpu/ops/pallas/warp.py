@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _warp_kernel(
-    packed_ref,  # [N, TY, TX] int32: oy/8<<16 | ox/128<<10 | sy<<7 | sx
+    packed_ref,  # [N, TY, TX] int32: oy/8<<17 | ox/128<<11 | sy<<7 | sx
     img_ref,  # [N, C, H, W] in ANY (manual DMA)
     ry_ref,  # [1, th, tw] vertical residual in [0, 2r+9]
     rx_ref,  # [1, th, tw] horizontal residual in [0, 2r+1]
@@ -52,6 +52,9 @@ def _warp_kernel(
     r: int,
     hw: int,
     ww: int,
+    fold_odd_row: bool = False,  # bf16: roll even rows only, odd slack in ry
+    bitcast_roll: bool = False,  # bf16 compiled path (32-bit-only rotate)
+    skip_roll: bool = False,  # TIMING ONLY: wrong output, isolates roll cost
 ):
     n = pl.program_id(0)
     c = pl.program_id(1)
@@ -59,8 +62,8 @@ def _warp_kernel(
     tx = pl.program_id(3)
 
     packed = packed_ref[n, ty, tx]
-    oy = pl.multiple_of((packed >> 16) * 8, 8)
-    ox = pl.multiple_of(((packed >> 10) & 0x3F) * 128, 128)
+    oy = pl.multiple_of((packed >> 17) * 8, 8)
+    ox = pl.multiple_of(((packed >> 11) & 0x3F) * 128, 128)
     copy = pltpu.make_async_copy(
         img_ref.at[n, c, pl.ds(oy, hw), pl.ds(ox, ww)], win, sem
     )
@@ -71,22 +74,55 @@ def _warp_kernel(
     copy.wait()
 
     # remove both alignment slacks with dynamic rolls (window dims are
-    # powers of two — dynamic roll miscompiles otherwise)
-    rolled = pltpu.roll(win[:], -((packed >> 7) & 0x7), axis=0)
-    rolled = pltpu.roll(rolled, -(packed & 0x7F), axis=1)
+    # powers of two — dynamic roll miscompiles otherwise). Mosaic's dynamic
+    # rotate is 32-bit-only: for a bf16 window, roll an int32 bitcast view
+    # — (hw, ww) bf16 packs to (hw/2, ww) i32 (sublane pairs), where a
+    # lane-roll is exactly a bf16 column roll and a row-roll moves TWO bf16
+    # rows (the odd row-slack remainder is folded into ry host-side).
+    row_slack = (packed >> 7) & 0xF
+    col_slack = packed & 0x7F
+    if skip_roll:
+        rolled = win[:]
+    elif bitcast_roll:
+        wv = pltpu.bitcast(win[:], jnp.int32)
+        wv = pltpu.roll(wv, -(row_slack >> 1), axis=0)
+        wv = pltpu.roll(wv, -col_slack, axis=1)
+        rolled = pltpu.bitcast(wv, win.dtype)
+    else:
+        even = (row_slack & ~1) if fold_odd_row else row_slack
+        rolled = pltpu.roll(win[:], -even, axis=0)
+        rolled = pltpu.roll(rolled, -col_slack, axis=1)
 
-    acc = jnp.zeros((th, tw), jnp.float32)
-    nsh_y = 2 * r + 2
+    # Factorized accumulation: out = Σ_a wy_a · (Σ_b wx_b · win[a+·, b+·]).
+    # The horizontal hat weights wx_b depend only on the output pixel, not
+    # on the vertical shift a — hoisting them turns the 3-op inner term
+    # (wy·wx then FMA) into a single FMA: ~2× fewer VPU ops, bit-identical
+    # up to float reassociation. With a bf16 window the inner (horizontal)
+    # sum runs in bf16 — ≤2 nonzero hat taps per pixel, so worst-case error
+    # is one bf16 ulp of the pixel value (~0.4 uint8 LSB) — and the outer
+    # vertical accumulation stays f32.
+    cdt = rolled.dtype
+    nsh_y = 2 * r + 2 + (1 if fold_odd_row else 0)
     nsh_x = 2 * r + 2
+    wxs = [
+        jnp.maximum(0.0, 1.0 - jnp.abs(rx - b)).astype(cdt) for b in range(nsh_x)
+    ]
+    acc = jnp.zeros((th, tw), jnp.float32)
     for a in range(nsh_y):
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - a))
-        for b in range(nsh_x):
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - b))
-            acc = acc + (wy * wx) * rolled[a : a + th, b : b + tw]
+        inner = wxs[0] * rolled[a : a + th, 0:tw]
+        for b in range(1, nsh_x):
+            inner = inner + wxs[b] * rolled[a : a + th, b : b + tw]
+        acc = acc + wy * inner.astype(jnp.float32)
     out_ref[0, 0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("r", "tile", "border", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "r", "tile", "border", "interpret", "compute_dtype", "_timing_skip_roll"
+    ),
+)
 def warp_windowed(
     img: jnp.ndarray,
     flow: jnp.ndarray,
@@ -95,18 +131,30 @@ def warp_windowed(
     tile: Tuple[int, int] = (32, 256),
     border: str = "replicate",
     interpret: bool = False,
+    compute_dtype: jnp.dtype = jnp.float32,
+    _timing_skip_roll: bool = False,  # benchmark-only: wrong output
 ) -> jnp.ndarray:
     """Backward-warp img by t·flow without gathers.
 
     img: [N, H, W, C] float; flow: [N, H, W, 2] (u=dx, v=dy).
     border: 'replicate' (grid_sample-style) or 'constant' (cv2.remap zeros).
+    compute_dtype: window/horizontal-sum dtype. bfloat16 halves DMA + roll
+    volume; worst-case error ~1 bf16 ulp of the pixel (~0.4 uint8 LSB) —
+    fine for model-internal warps, keep f32 for cv2-parity paths.
     """
     n, h, w, c = img.shape
     th, tw = tile
+    is_bf16 = compute_dtype == jnp.bfloat16
+    # bf16's native sublane tile is 16 — row origins align accordingly, the
+    # roll removes only the even part of the slack (Mosaic's rotate is
+    # 32-bit-only; bf16 rolls act on an int32 sublane-pair view) and the
+    # odd remainder folds into ry as one extra vertical tap.
+    row_al = 16 if is_bf16 else 8
+    nsh_y = 2 * r + 2 + (1 if is_bf16 else 0)
     # Window dims are powers of two: pltpu.roll with a dynamic shift
     # miscompiles on non-power-of-2 dims (empirically: lane W=384 and
     # sublane H=56/48 read one tile off; 64/256/512 correct).
-    hw_min = th + 2 * r + 2 + 7  # + up to 7 rows of 8-alignment slack
+    hw_min = th + nsh_y + (row_al - 1)  # + row-alignment slack
     hw_win = 1 << (hw_min - 1).bit_length()
     ww_min = tw + 128 + 2 * r + 2
     ww_win = 1 << (ww_min - 1).bit_length()
@@ -147,27 +195,35 @@ def warp_windowed(
     tx0 = (PL + jnp.arange(tx_n) * tw)[None, None, :]
     oy_c = ty0 + jnp.round(mean_vy).astype(jnp.int32) - (r + 1)
     ox_c = tx0 + jnp.round(mean_vx).astype(jnp.int32) - (r + 1)
-    oy8 = (oy_c // 8) * 8
+    oy8 = (oy_c // row_al) * row_al
     ox128 = (ox_c // 128) * 128
     # all origin/slack scalars packed into ONE int32 per tile (SMEM-bound:
-    # scalar-prefetch tables live in the 1MB SMEM)
+    # scalar-prefetch tables live in the 1MB SMEM):
+    # oy/8 << 17 | ox/128 << 11 | row_slack << 7 | col_slack
     packed = (
-        (oy8 // 8) * 65536 + (ox128 // 128) * 1024
+        (oy8 // 8) * 131072 + (ox128 // 128) * 2048
         + (oy_c - oy8) * 128 + (ox_c - ox128)
     ).astype(jnp.int32)
 
-    # per-pixel residuals relative to (unaligned origin + local position)
+    # per-pixel residuals relative to (effective origin + local position).
+    # bf16: the kernel roll removes only the even row slack, so the
+    # effective window origin is oy_c shifted back by the odd slack bit.
     ly = jnp.mod(ys - PT, th)
     lx = jnp.mod(xs - PL, tw)
-    oy_b = jnp.repeat(jnp.repeat(oy_c, th, axis=1), tw, axis=2).reshape(n, hc, wc)
+    oy_eff = oy_c - ((oy_c - oy8) & 1) if is_bf16 else oy_c
+    oy_b = jnp.repeat(jnp.repeat(oy_eff, th, axis=1), tw, axis=2).reshape(n, hc, wc)
     ox_b = jnp.repeat(jnp.repeat(ox_c, th, axis=1), tw, axis=2).reshape(n, hc, wc)
-    ry = jnp.clip(sy - oy_b - ly, 0.0, (2 * r + 2) - 1.001)
+    ry = jnp.clip(sy - oy_b - ly, 0.0, nsh_y - 1.001)
     rx = jnp.clip(sx - ox_b - lx, 0.0, (2 * r + 2) - 1.001)
 
-    img_nchw = jnp.transpose(img_p, (0, 3, 1, 2)).astype(jnp.float32)
+    img_nchw = jnp.transpose(img_p, (0, 3, 1, 2)).astype(compute_dtype)
 
     kernel = functools.partial(
-        _warp_kernel, th=th, tw=tw, r=r, hw=hw_win, ww=ww_win
+        _warp_kernel, th=th, tw=tw, r=r, hw=hw_win, ww=ww_win,
+        fold_odd_row=is_bf16,
+        # interpret mode has no native-layout bitcast; direct roll works there
+        bitcast_roll=is_bf16 and not interpret,
+        skip_roll=_timing_skip_roll,
     )
     out = pl.pallas_call(
         kernel,
@@ -190,7 +246,7 @@ def warp_windowed(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((hw_win, ww_win), jnp.float32),
+                pltpu.VMEM((hw_win, ww_win), compute_dtype),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
