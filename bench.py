@@ -45,7 +45,10 @@ def main():
     PAIRS = 1  # frame pairs per device step (offline throughput, like the
     # reference's 147-pair sweep; VPU/MXU utilization improves with batch)
 
-    cfg = RIFEConfig()
+    # deployment precision: bf16 activations (the TPU analog of the
+    # reference's fp16 TensorRT engines, README.md:335-348), bf16 Pallas
+    # warp windows (≈56 dB noise floor), f32 params.
+    cfg = RIFEConfig(dtype=jnp.bfloat16)
     module = IFNet(cfg)
     params = module.init(
         jax.random.PRNGKey(0),

@@ -54,3 +54,21 @@ def test_bf16_window_close_to_f32(small_case):
     # window + weights in bf16: worst case ~2 bf16 ulps of the pixel
     # (≈56 dB PSNR noise floor — far below any VFI quality level)
     assert np.abs(ref - out).max() < 2.0 / 255.0
+
+
+def test_asymmetric_radius_matches_gather(small_case):
+    img, flow = small_case
+    ref = np.asarray(flow_warp(img, flow, 1.0, border="replicate"))
+    out = np.asarray(warp_windowed(img, flow, 1.0, r=(4, 6), interpret=True))
+    assert np.abs(ref - out).max() < 1e-4
+
+
+def test_constant_border_partial_band(small_case):
+    """Per-tap zero blending at the border must match cv2.remap semantics
+    (sub-pixel boundary pixels blend content with zeros)."""
+    img, flow = small_case
+    ref = np.asarray(flow_warp(img, flow, 1.0, border="constant"))
+    out = np.asarray(
+        warp_windowed(img, flow, 1.0, r=8, border="constant", interpret=True)
+    )
+    assert np.abs(ref - out).max() < 1e-4

@@ -42,7 +42,13 @@ class RIFEConfig:
     scales: Tuple[int, ...] = (8, 4, 2, 1)
     channels: Tuple[int, ...] = (256, 160, 112, 80)
     num_convs: int = 8
-    refine: bool = True
+    # Practical-RIFE v4.x (the lineage the reference wraps,
+    # rife_wrapper.py:6-9) removed the separate refine/context net — the
+    # fusion blend IS the output. The optional RefineNet here costs
+    # ~12.6 ms at 3×1080p (small-channel convs pad to 128 MXU lanes, cost
+    # ∝ M·K regardless of output width) for a ≤1/16 residual — off by
+    # default, available for quality experiments.
+    refine: bool = False
     # Warp block inputs at each pyramid level's own resolution (IFRNet-style)
     # instead of full resolution: cuts warp cost from 2·L full-res warps to
     # ~2.6 full-res equivalents — the warp is the dominant cost on TPU.
@@ -50,18 +56,19 @@ class RIFEConfig:
     # fusion warps always run at full resolution).
     warp_at_level: bool = True
     min_warp_scale: int = 2
-    # Pallas-warp residual radii: kernel cost scales with (2r+2)^2. Level
-    # warps see smooth downsampled flows (r=4 suffices); the final full-res
-    # fusion warps get a wider radius. Training runs through the same warp,
-    # so the network adapts to the clamping behavior.
-    level_warp_radius: int = 4
-    final_warp_radius: int = 6
+    # Pallas-warp residual radii (ry, rx): kernel tap cost scales with
+    # (2ry+2)·(2rx+2). Gaming motion is mostly horizontal, so the vertical
+    # radius is smaller. Level warps see smooth downsampled flows; the
+    # final full-res fusion warps get wider radii. Training runs through
+    # the same warp, so the network adapts to the clamping behavior.
+    level_warp_radius: Tuple[int, int] = (2, 4)
+    final_warp_radius: Tuple[int, int] = (4, 6)
     dtype: jnp.dtype = jnp.float32
-    # Pallas-warp window dtype: bf16 would halve the warp kernel's DMA +
-    # roll volume at a ~2-ulp (≈56 dB) noise floor, but Mosaic's dynamic
-    # rotate is 32-bit-only ("Rotate with non-32-bit data") — keep f32
-    # until the bitcast-roll path lands.
-    warp_dtype: jnp.dtype = jnp.float32
+    # Pallas-warp window dtype: bf16 halves the warp kernel's DMA + roll
+    # volume (rolls act on an int32 bitcast of sublane pairs — Mosaic's
+    # dynamic rotate is 32-bit-only) at a ~2-ulp (≈56 dB) noise floor;
+    # on-chip parity: max err 0.0066 vs the exact gather warp.
+    warp_dtype: jnp.dtype = jnp.bfloat16
 
 
 def _lrelu(x):
@@ -73,10 +80,12 @@ def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
 
 
 def _halve(x: jnp.ndarray) -> jnp.ndarray:
-    """2×2 mean pool — the pyramid downsample (cheap reshape-reduce; no
-    full-res matmul resize per level)."""
-    n, h, w, c = x.shape
-    return x.reshape(n, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+    """2×2 mean pool — the pyramid downsample. reduce_window is the
+    layout-friendly TPU pooling path (a reshape-split of the sublane/lane
+    dims with C minor forces transposes and measured 30% slower IFNet)."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) * 0.25
 
 
 def _build_pyramid(x: jnp.ndarray, max_down: int) -> dict:
@@ -118,19 +127,34 @@ class IFBlock(nn.Module):
 
 
 class RefineNet(nn.Module):
-    """Small residual head sharpening the fused frame."""
+    """Residual head sharpening the fused frame.
 
-    c: int = 32
+    Runs at half resolution: full-res 3×3 convs with 11/32 channels waste
+    >75% of the MXU's 128 input/output lanes AND pay full-res activation
+    traffic (measured 24 ms of a 59 ms IFNet forward at 3×1080p; a 6×6
+    stride-2 encoder conv was no better at 19 ms). A 2×2 mean-pool entry
+    (reduce_window — the fast TPU pooling path) drops all conv work to
+    quarter area; the zero-init 4×4 stride-2 transpose conv returns the
+    residual to full resolution.
+    """
+
+    c: int = 40
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         conv = functools.partial(nn.Conv, dtype=self.dtype)
-        h = _lrelu(conv(self.c, (3, 3), padding=1)(x))
+        xh = jax.lax.reduce_window(
+            x, jnp.zeros((), x.dtype), jax.lax.add,
+            (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+        ) * jnp.asarray(0.25, x.dtype)
+        h = _lrelu(conv(self.c, (3, 3), padding=1)(xh))
         h = _lrelu(conv(self.c, (3, 3), padding=1)(h))
-        return jnp.tanh(
-            conv(3, (3, 3), padding=1, kernel_init=nn.initializers.zeros)(h)
-        ) * (1.0 / 16.0)
+        out = nn.ConvTranspose(
+            3, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+        )(h)
+        return jnp.tanh(out) * (1.0 / 16.0)
 
 
 class IFNet(nn.Module):
@@ -146,7 +170,12 @@ class IFNet(nn.Module):
         """
         cfg = self.config
         n, h, w, _ = img0.shape
-        t_scalar = jnp.reshape(jnp.asarray(timestep, img0.dtype), (-1, 1, 1, 1))
+        out_dtype = img0.dtype
+        # activations (pyramid, flows, masks, warps, fusion) run in
+        # cfg.dtype; outputs are cast back so callers see a stable dtype.
+        img0 = img0.astype(cfg.dtype)
+        img1 = img1.astype(cfg.dtype)
+        t_scalar = jnp.reshape(jnp.asarray(timestep, cfg.dtype), (-1, 1, 1, 1))
 
         ws_list = [
             max(s, cfg.min_warp_scale) if cfg.warp_at_level else 1
@@ -212,7 +241,11 @@ class IFNet(nn.Module):
             merged = jnp.clip(merged + res, 0.0, 1.0)
         else:
             merged = jnp.clip(merged, 0.0, 1.0)
-        return merged, flow, mask
+        return (
+            merged.astype(out_dtype),
+            flow.astype(out_dtype),
+            mask.astype(out_dtype),
+        )
 
 
 # =============================================================================
@@ -263,8 +296,10 @@ class RIFEModel(BaseModel):
     def load(self, weights_path: Optional[str] = None) -> None:
         """Initialize IFNet parameters; auto-loads weights/<name>.npz if present."""
         import os
+        import warnings
 
-        if weights_path is None:
+        auto = weights_path is None
+        if auto:
             default = f"weights/{'rife_lite' if 'Lite' in self.NAME else 'rife'}.npz"
             if os.path.exists(default):
                 weights_path = default
@@ -276,7 +311,19 @@ class RIFEModel(BaseModel):
         if weights_path:
             from vfisr_tpu.utils.checkpoint import load_params
 
-            self.params = load_params(weights_path, self.params)
+            try:
+                self.params = load_params(weights_path, self.params)
+            except ValueError:
+                # auto-discovered checkpoints are best-effort: a structure
+                # mismatch (stale file from an older architecture) falls
+                # back to fresh init; explicit paths stay strict.
+                if not auto:
+                    raise
+                warnings.warn(
+                    f"{weights_path} does not match the current architecture; "
+                    "using fresh init (retrain via scripts/train.py)",
+                    stacklevel=2,
+                )
 
         @functools.partial(jax.jit, static_argnames=())
         def apply_fn(params, img0, img1, timestep):

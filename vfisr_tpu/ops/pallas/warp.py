@@ -5,25 +5,31 @@ Motivation (measured on v5e): XLA's element gather runs ~55 ms per
 an IFNet forward ~1.85 s — 98% of runtime. TPUs have no fast random
 gather; the TPU-native formulation replaces it with dense vector math:
 
-1. Host/jit side: absolute source coords are clamped (replicate border);
-   each output tile (th×tw) gets a window origin from the rounded mean of
-   its source coordinates. Origins obey Mosaic's DMA alignment (rows
-   8-aligned, cols 128-aligned): the row slack (0-7) folds into the
-   vertical residual loop, the column slack (0-127) is removed in-kernel
-   by a dynamic lane `pltpu.roll` of the window.
-2. Kernel per (n, c, tile): DMA the (64 × tw+256) input window HBM→VMEM at
-   the tile's dynamic aligned origin, roll columns by the slack, then
-   accumulate
-       out[p] = Σ_{a,b} hat(ry[p]-a)·hat(rx[p]-b) · win[p+(a,b)]
-   over (2r+10)×(2r+2) relative shifts — every term is a (th,tw) vector
-   FMA on the VPU; bilinear's 4-tap structure is recovered because the
-   hat weights vanish except at the two integer neighbors.
+1. Host/jit side: each output tile (th×tw) gets a window origin from the
+   rounded tile-mean displacement (a reduce_window average over the flow —
+   no full-resolution coordinate arrays are materialized host-side).
+   Origins obey Mosaic's DMA alignment (rows 8/16-aligned, cols
+   128-aligned); all origin/slack scalars pack into one int32 per tile.
+2. Kernel per (n, c, tile): DMA the input window HBM→VMEM at the tile's
+   aligned origin, de-slack it with dynamic rolls, compute the per-pixel
+   source coordinates and residuals IN-KERNEL from the flow tile (a few
+   VPU ops), then accumulate
+       out[p] = Σ_a hat(ry[p]-a) · Σ_b hat(rx[p]-b) · win[p+(a,b)]
+   over (2·ry+2)×(2·rx+2) relative shifts — every term is a (th,tw)
+   vector FMA on the VPU; bilinear's 4-tap structure is recovered because
+   the hat weights vanish except at the two integer neighbors.
+
+bf16 windows: Mosaic's dynamic rotate is 32-bit-only, so bf16 rolls act on
+an int32 bitcast view — (hw, ww) bf16 packs to (hw/2, ww) i32 (sublane
+pairs), where a lane-roll is exactly a bf16 column roll and a row-roll
+moves TWO bf16 rows; the odd row-slack remainder folds into ry as one
+extra vertical tap. On-chip parity vs the exact gather warp: ≤1e-4 (f32),
+≤0.0066 (bf16 ≈ 2 ulp of a [0,1] pixel, a ~56 dB noise floor).
 
 Exactness: identical to bilinear-gather warping wherever the per-pixel
-flow deviates from its tile mean by ≤ r px (default r=8). Larger
-deviations clamp to the window edge (slight smear strictly localized to
-extreme intra-tile motion discontinuities). Parity vs the exact gather
-warp is asserted in tests/test_pallas_warp.py.
+flow deviates from its tile mean by ≤ (ry, rx) px. Larger deviations clamp
+to the window edge (slight smear strictly localized to extreme intra-tile
+motion discontinuities). Parity is asserted in tests/test_pallas_warp.py.
 """
 
 from __future__ import annotations
@@ -40,81 +46,104 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _warp_kernel(
     packed_ref,  # [N, TY, TX] int32: oy/8<<17 | ox/128<<11 | sy<<7 | sx
+    t_ref,  # [N] f32 per-batch flow scale
     img_ref,  # [N, C, H, W] in ANY (manual DMA)
-    ry_ref,  # [1, th, tw] vertical residual in [0, 2r+9]
-    rx_ref,  # [1, th, tw] horizontal residual in [0, 2r+1]
-    out_ref,  # [1, 1, th, tw]
-    win,  # VMEM scratch [hw, ww]
+    fy_ref,  # [1, 1, th, tw] flow dy tile
+    fx_ref,  # [1, 1, th, tw] flow dx tile
+    out_ref,  # [1, C, th, tw]
+    win,  # VMEM scratch [C, hw, ww]
     sem,
     *,
+    nch: int,  # channels per program (one DMA, shared coords/weights)
     th: int,
     tw: int,
-    r: int,
+    nsh_y: int,  # vertical taps (2·ry+2, +1 when fold_odd_row)
+    nsh_x: int,  # horizontal taps (2·rx+2)
     hw: int,
     ww: int,
+    ylo: float,  # source-coordinate clip bounds (canvas space)
+    yhi: float,
+    xlo: float,
+    xhi: float,
+    pt: int,  # content origin inside the canvas
+    pl_: int,
     fold_odd_row: bool = False,  # bf16: roll even rows only, odd slack in ry
     bitcast_roll: bool = False,  # bf16 compiled path (32-bit-only rotate)
     skip_roll: bool = False,  # TIMING ONLY: wrong output, isolates roll cost
 ):
     n = pl.program_id(0)
-    c = pl.program_id(1)
-    ty = pl.program_id(2)
-    tx = pl.program_id(3)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
 
     packed = packed_ref[n, ty, tx]
     oy = pl.multiple_of((packed >> 17) * 8, 8)
     ox = pl.multiple_of(((packed >> 11) & 0x3F) * 128, 128)
     copy = pltpu.make_async_copy(
-        img_ref.at[n, c, pl.ds(oy, hw), pl.ds(ox, ww)], win, sem
+        img_ref.at[n, :, pl.ds(oy, hw), pl.ds(ox, ww)], win, sem
     )
     copy.start()
 
-    ry = ry_ref[0]
-    rx = rx_ref[0]
-    copy.wait()
+    # ---- per-pixel source coords + residuals (in-kernel; overlaps DMA;
+    # computed ONCE for all channels) ----
+    t = t_ref[n]
+    # tpu.iota is integer-only in compiled Mosaic; cast after
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    y_abs = (pt + ty * th).astype(jnp.float32) + rows
+    x_abs = (pl_ + tx * tw).astype(jnp.float32) + cols
+    sy = jnp.clip(y_abs + fy_ref[0, 0].astype(jnp.float32) * t, ylo, yhi)
+    sx = jnp.clip(x_abs + fx_ref[0, 0].astype(jnp.float32) * t, xlo, xhi)
 
-    # remove both alignment slacks with dynamic rolls (window dims are
-    # powers of two — dynamic roll miscompiles otherwise). Mosaic's dynamic
-    # rotate is 32-bit-only: for a bf16 window, roll an int32 bitcast view
-    # — (hw, ww) bf16 packs to (hw/2, ww) i32 (sublane pairs), where a
-    # lane-roll is exactly a bf16 column roll and a row-roll moves TWO bf16
-    # rows (the odd row-slack remainder is folded into ry host-side).
     row_slack = (packed >> 7) & 0xF
     col_slack = packed & 0x7F
-    if skip_roll:
-        rolled = win[:]
-    elif bitcast_roll:
-        wv = pltpu.bitcast(win[:], jnp.int32)
-        wv = pltpu.roll(wv, -(row_slack >> 1), axis=0)
-        wv = pltpu.roll(wv, -col_slack, axis=1)
-        rolled = pltpu.bitcast(wv, win.dtype)
+    # effective window origin after the rolls
+    if fold_odd_row:
+        oy_eff = oy + (row_slack & ~1)
     else:
-        even = (row_slack & ~1) if fold_odd_row else row_slack
-        rolled = pltpu.roll(win[:], -even, axis=0)
-        rolled = pltpu.roll(rolled, -col_slack, axis=1)
+        oy_eff = oy + row_slack
+    ox_eff = ox + col_slack
+    ry = jnp.clip(
+        sy - oy_eff.astype(jnp.float32) - rows, 0.0, nsh_y - 1.001
+    )
+    rx = jnp.clip(
+        sx - ox_eff.astype(jnp.float32) - cols, 0.0, nsh_x - 1.001
+    )
 
-    # Factorized accumulation: out = Σ_a wy_a · (Σ_b wx_b · win[a+·, b+·]).
-    # The horizontal hat weights wx_b depend only on the output pixel, not
-    # on the vertical shift a — hoisting them turns the 3-op inner term
-    # (wy·wx then FMA) into a single FMA: ~2× fewer VPU ops, bit-identical
-    # up to float reassociation. With a bf16 window the inner (horizontal)
-    # sum runs in bf16 — ≤2 nonzero hat taps per pixel, so worst-case error
-    # is one bf16 ulp of the pixel value (~0.4 uint8 LSB) — and the outer
-    # vertical accumulation stays f32.
-    cdt = rolled.dtype
-    nsh_y = 2 * r + 2 + (1 if fold_odd_row else 0)
-    nsh_x = 2 * r + 2
+    # Factorized hat weights, shared across channels: the horizontal taps
+    # wx_b depend only on the output pixel, not on the vertical shift a —
+    # hoisting them turns the inner term into a single FMA. With a bf16
+    # window the inner (horizontal) sum runs in bf16 (≤2 nonzero hat taps
+    # per pixel → ≤1 bf16 ulp of the pixel); the outer vertical
+    # accumulation stays f32.
+    cdt = win.dtype
     wxs = [
         jnp.maximum(0.0, 1.0 - jnp.abs(rx - b)).astype(cdt) for b in range(nsh_x)
     ]
-    acc = jnp.zeros((th, tw), jnp.float32)
-    for a in range(nsh_y):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - a))
-        inner = wxs[0] * rolled[a : a + th, 0:tw]
-        for b in range(1, nsh_x):
-            inner = inner + wxs[b] * rolled[a : a + th, b : b + tw]
-        acc = acc + wy * inner.astype(jnp.float32)
-    out_ref[0, 0] = acc
+    wys = [jnp.maximum(0.0, 1.0 - jnp.abs(ry - a)) for a in range(nsh_y)]
+
+    copy.wait()
+
+    for ci in range(nch):
+        # de-slack this channel's window with dynamic rolls (window dims
+        # are powers of two — dynamic roll miscompiles otherwise)
+        if skip_roll:
+            rolled = win[ci]
+        elif bitcast_roll:
+            wv = pltpu.bitcast(win[ci], jnp.int32)
+            wv = pltpu.roll(wv, -(row_slack >> 1), axis=0)
+            wv = pltpu.roll(wv, -col_slack, axis=1)
+            rolled = pltpu.bitcast(wv, win.dtype)
+        else:
+            rolled = pltpu.roll(win[ci], -row_slack, axis=0)
+            rolled = pltpu.roll(rolled, -col_slack, axis=1)
+
+        acc = jnp.zeros((th, tw), jnp.float32)
+        for a in range(nsh_y):
+            inner = wxs[0] * rolled[a : a + th, 0:tw]
+            for b in range(1, nsh_x):
+                inner = inner + wxs[b] * rolled[a : a + th, b : b + tw]
+            acc = acc + wys[a] * inner.astype(jnp.float32)
+        out_ref[0, ci] = acc
 
 
 @functools.partial(
@@ -127,7 +156,7 @@ def warp_windowed(
     img: jnp.ndarray,
     flow: jnp.ndarray,
     t: float | jnp.ndarray = 1.0,
-    r: int = 8,
+    r: int | Tuple[int, int] = 8,
     tile: Tuple[int, int] = (32, 256),
     border: str = "replicate",
     interpret: bool = False,
@@ -137,40 +166,50 @@ def warp_windowed(
     """Backward-warp img by t·flow without gathers.
 
     img: [N, H, W, C] float; flow: [N, H, W, 2] (u=dx, v=dy).
+    t: scalar or [N] per-batch flow scale.
+    r: residual radius — int, or (ry, rx) for asymmetric radii (gaming
+    motion is mostly horizontal; a smaller vertical radius cuts the tap
+    loop, whose cost is (2ry+2)·(2rx+2)).
     border: 'replicate' (grid_sample-style) or 'constant' (cv2.remap zeros).
     compute_dtype: window/horizontal-sum dtype. bfloat16 halves DMA + roll
-    volume; worst-case error ~1 bf16 ulp of the pixel (~0.4 uint8 LSB) —
+    volume; worst-case error ~2 bf16 ulps of the pixel (~1 uint8 LSB) —
     fine for model-internal warps, keep f32 for cv2-parity paths.
     """
     n, h, w, c = img.shape
     th, tw = tile
+    ry_r, rx_r = (r, r) if isinstance(r, int) else r
     is_bf16 = compute_dtype == jnp.bfloat16
     # bf16's native sublane tile is 16 — row origins align accordingly, the
-    # roll removes only the even part of the slack (Mosaic's rotate is
-    # 32-bit-only; bf16 rolls act on an int32 sublane-pair view) and the
-    # odd remainder folds into ry as one extra vertical tap.
+    # roll removes only the even part of the slack and the odd remainder
+    # folds into ry as one extra vertical tap.
     row_al = 16 if is_bf16 else 8
-    nsh_y = 2 * r + 2 + (1 if is_bf16 else 0)
+    nsh_y = 2 * ry_r + 2 + (1 if is_bf16 else 0)
+    nsh_x = 2 * rx_r + 2
     # Window dims are powers of two: pltpu.roll with a dynamic shift
     # miscompiles on non-power-of-2 dims (empirically: lane W=384 and
     # sublane H=56/48 read one tile off; 64/256/512 correct).
     hw_min = th + nsh_y + (row_al - 1)  # + row-alignment slack
     hw_win = 1 << (hw_min - 1).bit_length()
-    ww_min = tw + 128 + 2 * r + 2
+    ww_min = tw + 128 + nsh_x
     ww_win = 1 << (ww_min - 1).bit_length()
 
-    # Canvas padding sized so window origins are NEVER clipped: any tile's
-    # clamped source coords admit a window fully inside the canvas. Content
-    # sits at (PT, PL); tiles stay aligned to the content origin.
-    PT = ((th + r + 1 + th - 1) // th) * th
-    PL = ((tw + r + 1 + tw - 1) // tw) * tw
+    # Canvas: content at (PT, PL), padded on all sides. replicate: edge
+    # padding — a window clamped even fully into padding reads correct
+    # replicate values. constant (cv2.remap zeros): ZERO padding with
+    # source coords clipped to the canvas instead of the content — taps
+    # then sample actual zeros, reproducing cv2's per-tap zero blending at
+    # the border exactly (within the residual radius).
+    PT = ((th + ry_r + 1 + th - 1) // th) * th
+    PL = ((tw + rx_r + 1 + tw - 1) // tw) * tw
     ph_c = (-h) % th  # content rounded up to tile multiples
     pw_c = (-w) % tw
     PB = hw_win
     PR = ww_win
-    img_p = jnp.pad(
-        img, ((0, 0), (PT, ph_c + PB), (PL, pw_c + PR), (0, 0)), mode="edge"
-    )
+    pad_cfg = ((0, 0), (PT, ph_c + PB), (PL, pw_c + PR), (0, 0))
+    if border == "constant":
+        img_p = jnp.pad(img, pad_cfg, mode="constant")
+    else:
+        img_p = jnp.pad(img, pad_cfg, mode="edge")
     flow_p = (
         jnp.pad(flow, ((0, 0), (0, ph_c), (0, pw_c), (0, 0)), mode="edge")
         if (ph_c or pw_c)
@@ -180,46 +219,62 @@ def warp_windowed(
     hp, wp = img_p.shape[1], img_p.shape[2]  # full canvas
     ty_n, tx_n = hc // th, wc // tw
 
-    # coordinates in CANVAS space; clip to the content region (replicate)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (n, hc, wc), 1) + PT
-    xs = jax.lax.broadcasted_iota(jnp.float32, (n, hc, wc), 2) + PL
-    sy_raw = ys + flow_p[..., 1] * t
-    sx_raw = xs + flow_p[..., 0] * t
-    sy = jnp.clip(sy_raw, float(PT), PT + h - 1.0)
-    sx = jnp.clip(sx_raw, float(PL), PL + w - 1.0)
+    t_arr = jnp.broadcast_to(
+        jnp.asarray(t, jnp.float32).reshape(-1), (n,)
+    )
 
-    # tile-mean displacements → window origins (never out of canvas)
-    mean_vy = jnp.mean((sy - ys).reshape(n, ty_n, th, tx_n, tw), axis=(2, 4))
-    mean_vx = jnp.mean((sx - xs).reshape(n, ty_n, th, tx_n, tw), axis=(2, 4))
+    # tile-mean displacements → window origins, clamped into the canvas.
+    # A single reduce_window with a (th, tw) window lowers as a naive
+    # sliding reduction (measured +17 ms at 6×1080p); a chain of 2×2
+    # halvings followed by one small reduce is the fast TPU pooling path.
+    mean_f = flow_p.astype(jnp.float32)
+    steps = th.bit_length() - 1  # th is a power of two
+    for _ in range(steps):
+        mean_f = jax.lax.reduce_window(
+            mean_f, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        ) * 0.25
+    if tw != th:  # finish the wider tile axis (tw/th extra columns)
+        mean_f = jax.lax.reduce_window(
+            mean_f, 0.0, jax.lax.add,
+            (1, 1, tw // th, 1), (1, 1, tw // th, 1), "VALID",
+        ) * (th / tw)
+    # mean_f: [n, ty, tx, 2]
+    mean_vx = mean_f[..., 0] * t_arr[:, None, None]
+    mean_vy = mean_f[..., 1] * t_arr[:, None, None]
     ty0 = (PT + jnp.arange(ty_n) * th)[None, :, None]
     tx0 = (PL + jnp.arange(tx_n) * tw)[None, None, :]
-    oy_c = ty0 + jnp.round(mean_vy).astype(jnp.int32) - (r + 1)
-    ox_c = tx0 + jnp.round(mean_vx).astype(jnp.int32) - (r + 1)
-    oy8 = (oy_c // row_al) * row_al
-    ox128 = (ox_c // 128) * 128
+    oy_c = jnp.clip(
+        ty0 + jnp.round(mean_vy).astype(jnp.int32) - (ry_r + 1), 0, hp - hw_win
+    )
+    ox_c = jnp.clip(
+        tx0 + jnp.round(mean_vx).astype(jnp.int32) - (rx_r + 1), 0, wp - ww_win
+    )
+    oy_al = (oy_c // row_al) * row_al
+    ox_al = (ox_c // 128) * 128
     # all origin/slack scalars packed into ONE int32 per tile (SMEM-bound:
     # scalar-prefetch tables live in the 1MB SMEM):
     # oy/8 << 17 | ox/128 << 11 | row_slack << 7 | col_slack
     packed = (
-        (oy8 // 8) * 131072 + (ox128 // 128) * 2048
-        + (oy_c - oy8) * 128 + (ox_c - ox128)
+        (oy_al // 8) * 131072 + (ox_al // 128) * 2048
+        + (oy_c - oy_al) * 128 + (ox_c - ox_al)
     ).astype(jnp.int32)
 
-    # per-pixel residuals relative to (effective origin + local position).
-    # bf16: the kernel roll removes only the even row slack, so the
-    # effective window origin is oy_c shifted back by the odd slack bit.
-    ly = jnp.mod(ys - PT, th)
-    lx = jnp.mod(xs - PL, tw)
-    oy_eff = oy_c - ((oy_c - oy8) & 1) if is_bf16 else oy_c
-    oy_b = jnp.repeat(jnp.repeat(oy_eff, th, axis=1), tw, axis=2).reshape(n, hc, wc)
-    ox_b = jnp.repeat(jnp.repeat(ox_c, th, axis=1), tw, axis=2).reshape(n, hc, wc)
-    ry = jnp.clip(sy - oy_b - ly, 0.0, nsh_y - 1.001)
-    rx = jnp.clip(sx - ox_b - lx, 0.0, (2 * r + 2) - 1.001)
-
     img_nchw = jnp.transpose(img_p, (0, 3, 1, 2)).astype(compute_dtype)
+    flow_nchw = jnp.transpose(flow_p, (0, 3, 1, 2))  # [n, 2, hc, wc]
+
+    if border == "constant":
+        # clip into the zero padding (one px past content suffices for the
+        # bilinear taps; anything further is all-zero anyway)
+        ylo, yhi = float(PT - ry_r), float(PT + h - 1 + ry_r)
+        xlo, xhi = float(PL - rx_r), float(PL + w - 1 + rx_r)
+    else:
+        ylo, yhi = float(PT), float(PT + h - 1)
+        xlo, xhi = float(PL), float(PL + w - 1)
 
     kernel = functools.partial(
-        _warp_kernel, th=th, tw=tw, r=r, hw=hw_win, ww=ww_win,
+        _warp_kernel, nch=c, th=th, tw=tw, nsh_y=nsh_y, nsh_x=nsh_x,
+        hw=hw_win, ww=ww_win, ylo=ylo, yhi=yhi, xlo=xlo, xhi=xhi,
+        pt=PT, pl_=PL,
         fold_odd_row=is_bf16,
         # interpret mode has no native-layout bitcast; direct roll works there
         bitcast_roll=is_bf16 and not interpret,
@@ -228,38 +283,32 @@ def warp_windowed(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n, c, ty_n, tx_n),
+            num_scalar_prefetch=2,
+            grid=(n, ty_n, tx_n),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # img (manual DMA)
-                pl.BlockSpec(
-                    (1, th, tw), lambda ni, ci, ti, xi, *refs: (ni, ti, xi),
+                pl.BlockSpec(  # flow dy plane
+                    (1, 1, th, tw), lambda ni, ti, xi, *refs: (ni, 1, ti, xi),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(
-                    (1, th, tw), lambda ni, ci, ti, xi, *refs: (ni, ti, xi),
+                pl.BlockSpec(  # flow dx plane
+                    (1, 1, th, tw), lambda ni, ti, xi, *refs: (ni, 0, ti, xi),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, th, tw), lambda ni, ci, ti, xi, *refs: (ni, ci, ti, xi),
+                (1, c, th, tw), lambda ni, ti, xi, *refs: (ni, 0, ti, xi),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((hw_win, ww_win), compute_dtype),
+                pltpu.VMEM((c, hw_win, ww_win), compute_dtype),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n, c, hc, wc), jnp.float32),
         interpret=interpret,
-    )(packed, img_nchw, ry, rx)
+    )(packed, t_arr, img_nchw, flow_nchw, flow_nchw)
 
     out = jnp.transpose(out, (0, 2, 3, 1))
-    if border == "constant":
-        valid = (
-            (sy_raw >= float(PT)) & (sy_raw <= PT + h - 1.0)
-            & (sx_raw >= float(PL)) & (sx_raw <= PL + w - 1.0)
-        )
-        out = out * valid[..., None].astype(out.dtype)
     out = out[:, :h, :w]
     return out.astype(img.dtype)
