@@ -226,18 +226,21 @@ def warp_windowed(
     # tile-mean displacements → window origins, clamped into the canvas.
     # A single reduce_window with a (th, tw) window lowers as a naive
     # sliding reduction (measured +17 ms at 6×1080p); a chain of 2×2
-    # halvings followed by one small reduce is the fast TPU pooling path.
+    # halvings down to the largest power-of-two factor of (th, tw),
+    # finished by one small reduce, is the fast TPU pooling path.
     mean_f = flow_p.astype(jnp.float32)
-    steps = th.bit_length() - 1  # th is a power of two
-    for _ in range(steps):
+    g = 1
+    while th % (2 * g) == 0 and tw % (2 * g) == 0:
+        g *= 2
+    for _ in range(g.bit_length() - 1):
         mean_f = jax.lax.reduce_window(
             mean_f, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
         ) * 0.25
-    if tw != th:  # finish the wider tile axis (tw/th extra columns)
+    if (th // g, tw // g) != (1, 1):  # finish to one cell per tile
         mean_f = jax.lax.reduce_window(
             mean_f, 0.0, jax.lax.add,
-            (1, 1, tw // th, 1), (1, 1, tw // th, 1), "VALID",
-        ) * (th / tw)
+            (1, th // g, tw // g, 1), (1, th // g, tw // g, 1), "VALID",
+        ) * (g * g / (th * tw))
     # mean_f: [n, ty, tx, 2]
     mean_vx = mean_f[..., 0] * t_arr[:, None, None]
     mean_vy = mean_f[..., 1] * t_arr[:, None, None]
