@@ -68,7 +68,7 @@ def main():
         merged, _, _ = module.apply({"params": params}, x0r, x1r, ts)
         mids = unpad(merged, H, W)
         frames = jnp.concatenate([x0, mids], axis=0)  # [4*PAIRS, H, W, 3]
-        up = to_uint8(resize(frames, (OUT_H, OUT_W), "lanczos4"))
+        up = to_uint8(resize(frames, (OUT_H, OUT_W), "lanczos4", precision="default"))
         return up, mids
 
     def chained(k):

@@ -66,20 +66,42 @@ def main():
         batch_iter = (synthetic_batch(rng, args.batch, args.crop)
                       for _ in range(args.steps))
 
+    # Host data generation overlaps device compute: a producer thread keeps
+    # a small queue full (cv2 and jax readbacks both release the GIL), and
+    # losses stay on-device between log intervals so the step loop never
+    # blocks on the ~30 ms tunnel readback.
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def producer():
+        for b in batch_iter:
+            q.put(b)
+        q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+
     t0 = time.time()
-    losses = []
-    for step, batch in enumerate(batch_iter, 1):
+    window: list = []  # device scalars, read back only at log time
+    last_loss = float("nan")
+    for step in range(1, args.steps + 1):
+        batch = q.get()
+        if batch is None:
+            break
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, loss = step_fn(state, batch)
-        losses.append(float(loss))
+        window.append(loss)
         if step % args.log_every == 0:
+            last_loss = float(np.mean([float(l) for l in window]))
+            window.clear()
             rate = step * args.batch / (time.time() - t0)
-            print(f"step {step}/{args.steps}  loss {np.mean(losses[-args.log_every:]):.4f}  "
+            print(f"step {step}/{args.steps}  loss {last_loss:.4f}  "
                   f"{rate:.1f} samples/s", flush=True)
         if step % args.save_every == 0 or step == args.steps:
             save_params(out_path, jax.device_get(state.params))
-            print(f"  saved {out_path} @ step {step}")
-    print(f"Done: final loss {np.mean(losses[-50:]):.4f} -> {out_path}")
+            print(f"  saved {out_path} @ step {step}", flush=True)
+    print(f"Done: final loss {last_loss:.4f} -> {out_path}")
 
 
 if __name__ == "__main__":

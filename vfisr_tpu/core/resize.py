@@ -149,8 +149,19 @@ def _use_matmul_resize() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "method"))
-def _resize_f(x: jnp.ndarray, out_h: int, out_w: int, method: str) -> jnp.ndarray:
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_h", "out_w", "method", "precision")
+)
+def _resize_f(
+    x: jnp.ndarray, out_h: int, out_w: int, method: str, precision: str = "high"
+) -> jnp.ndarray:
     h_axis = x.ndim - 3
     w_axis = x.ndim - 2
     in_h, in_w = x.shape[h_axis], x.shape[w_axis]
@@ -159,19 +170,21 @@ def _resize_f(x: jnp.ndarray, out_h: int, out_w: int, method: str) -> jnp.ndarra
         sub = letters[: x.ndim]
         hs, ws_ = sub[h_axis], sub[w_axis]
         # HIGH = 3-pass bf16 (~f24 mantissa): exact for 8-bit content at
-        # ~2x the speed of HIGHEST; DEFAULT single-pass bf16 would cost
-        # up to ~1 uint8 LSB.
+        # ~2x the speed of HIGHEST; DEFAULT single-pass bf16 costs up to
+        # ~1 uint8 LSB — the deployment-throughput setting (the TPU analog
+        # of the reference's fp16 TensorRT engines, README.md:335-348).
+        prec = _PRECISIONS[precision]
         if in_h != out_h:
             m = jnp.asarray(_dense_matrix_cached(in_h, out_h, method))
             x = jnp.einsum(
                 f"O{hs},{sub}->{sub.replace(hs, 'O')}", m, x,
-                precision=jax.lax.Precision.HIGH,
+                precision=prec,
             )
         if in_w != out_w:
             m = jnp.asarray(_dense_matrix_cached(in_w, out_w, method))
             x = jnp.einsum(
                 f"O{ws_},{sub}->{sub.replace(ws_, 'O')}", m, x,
-                precision=jax.lax.Precision.HIGH,
+                precision=prec,
             )
         return x
     if in_h != out_h:
@@ -188,16 +201,20 @@ def resize(
     size: Tuple[int, int],
     method: str = "lanczos4",
     antialias_consistent: bool = True,
+    precision: str = "high",
 ) -> jnp.ndarray:
     """Resize [..., H, W, C] to (out_h, out_w) with an OpenCV-compatible kernel.
 
     method ∈ {nearest, linear, cubic, lanczos4, area}. uint8 in → uint8 out
     (OpenCV saturate rounding); float passes through in float.
+    precision: matmul-path precision — 'high' (3-pass bf16, exact for 8-bit
+    content) for cv2-parity paths, 'default' (single-pass bf16, ≤1 uint8
+    LSB) for deployment throughput.
     """
     out_h, out_w = size
     is_int = jnp.issubdtype(x.dtype, jnp.integer)
     xf = x.astype(jnp.float32)
-    y = _resize_f(xf, out_h, out_w, method)
+    y = _resize_f(xf, out_h, out_w, method, precision)
     if is_int:
         y = jnp.clip(jnp.floor(y + 0.5), 0, 255).astype(x.dtype)
     else:

@@ -101,18 +101,31 @@ def synthetic_batch(
         fg_mask = np.zeros((c, c), np.uint8)
         cv2.circle(fg_mask, (c // 2, c // 2), int(rng.integers(c // 8, c // 3)), 1, -1)
         t = float(rng.uniform(0.1, 0.9))
-        bgd = rng.uniform(-12, 12, 2)  # background displacement
-        fgd = rng.uniform(-20, 20, 2)  # foreground displacement
+        bgd = rng.uniform(-12, 12, 2)  # background displacement (subpixel)
+        fgd = rng.uniform(-20, 20, 2)  # foreground displacement (subpixel)
+        brot = float(rng.uniform(-2.0, 2.0))  # camera roll, degrees over the pair
+        bzoom = float(rng.uniform(-0.03, 0.03))  # camera zoom over the pair
 
         def render(pos):
-            bx, by = (c // 2 + bgd * pos).astype(int)
-            frame = canvas[by : by + c, bx : bx + c].copy()
-            fx, fy = (fgd * pos).astype(int)
-            M = np.float32([[1, 0, fx], [0, 1, fy]])
-            fgw = cv2.warpAffine(fg, M, (c, c))
-            mw = cv2.warpAffine(fg_mask, M, (c, c))
-            frame[mw > 0] = fgw[mw > 0]
-            return frame
+            # background: rotation/zoom about the window centre + subpixel
+            # translation, sampled bilinearly from the 2c x 2c canvas
+            bx, by = c // 2 + bgd * pos
+            M = cv2.getRotationMatrix2D(
+                (c / 2 + bx, c / 2 + by), brot * pos, 1.0 + bzoom * pos
+            )
+            M[:, 2] -= (bx, by)
+            frame = cv2.warpAffine(
+                canvas, M, (c, c), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_REFLECT,
+            )
+            # foreground: subpixel translation, soft-edged composite
+            fx, fy = fgd * pos
+            Mf = np.float32([[1, 0, fx], [0, 1, fy]])
+            fgw = cv2.warpAffine(fg, Mf, (c, c), flags=cv2.INTER_LINEAR)
+            mw = cv2.warpAffine(
+                fg_mask.astype(np.float32), Mf, (c, c), flags=cv2.INTER_LINEAR
+            )[..., None]
+            return (frame * (1.0 - mw) + fgw * mw).astype(np.uint8)
 
         a, b_, g = render(0.0), render(1.0), render(t)
         if rng.random() < hud_prob:  # static HUD that must NOT move
