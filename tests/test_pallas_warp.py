@@ -72,3 +72,40 @@ def test_constant_border_partial_band(small_case):
         warp_windowed(img, flow, 1.0, r=8, border="constant", interpret=True)
     )
     assert np.abs(ref - out).max() < 1e-4
+
+
+class TestGradWeightModes:
+    """The warp VJP's flow gradient = two windowed passes with derivative
+    hat weights (weight_mode='grad_y'/'grad_x') — parity vs autodiff of the
+    exact gather warp, including the zero-/integer-flow cases where a naive
+    -sign(d) derivative would vanish (zero-init flow heads train on this)."""
+
+    @pytest.mark.parametrize("border", ["replicate", "constant"])
+    @pytest.mark.parametrize("flow_kind", ["random", "zero", "integer"])
+    def test_flow_grad_parity(self, border, flow_kind):
+        import jax
+
+        from vfisr_tpu.core.warp import flow_warp
+
+        rng = np.random.default_rng(7)
+        n, h, w, c = 1, 32, 64, 3
+        img = jnp.asarray(rng.random((n, h, w, c), np.float32))
+        ct = jnp.asarray(rng.random((n, h, w, c), np.float32))
+        if flow_kind == "random":
+            flow = jnp.asarray((rng.random((n, h, w, 2), np.float32) - 0.5) * 8)
+        elif flow_kind == "zero":
+            flow = jnp.zeros((n, h, w, 2), jnp.float32)
+        else:
+            flow = jnp.asarray(rng.integers(-3, 4, (n, h, w, 2)).astype(np.float32))
+
+        gy = warp_windowed(img, flow, 1.0, r=6, tile=(8, 128), border=border,
+                           interpret=True, weight_mode="grad_y")
+        gx = warp_windowed(img, flow, 1.0, r=6, tile=(8, 128), border=border,
+                           interpret=True, weight_mode="grad_x")
+        got = jnp.stack(
+            [jnp.sum(ct * gx, axis=-1), jnp.sum(ct * gy, axis=-1)], axis=-1
+        )
+        ref = jax.grad(
+            lambda f: jnp.sum(flow_warp(img, f, 1.0, border=border) * ct)
+        )(flow)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)

@@ -93,3 +93,42 @@ def test_crop_16_9():
     x = np.zeros((1000, 1000, 3), np.uint8)
     out = crop_16_9(x)
     assert out.shape[1] == 1000 and out.shape[0] == 562
+
+
+@pytest.mark.parametrize("method", ["linear", "cubic", "lanczos4", "area"])
+@pytest.mark.parametrize("sizes", [(270, 360), (1080, 1440), (540, 167)])
+def test_banded_matmul_matches_tap_path(method, sizes):
+    """The TPU matmul path (block-banded) must agree with the gather/tap
+    path used on CPU — same tap tables, different evaluation order."""
+    import jax
+    import jax.numpy as jnp
+
+    from vfisr_tpu.core.resize import _apply_axis_matmul, _tap_table_cached, _apply_axis
+
+    in_size, out_size = sizes
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, in_size, 31, 3), np.float32))
+    got = np.asarray(
+        _apply_axis_matmul(x, in_size, out_size, method, 1,
+                           jax.lax.Precision.HIGHEST)
+    )
+    idx, w = _tap_table_cached(in_size, out_size, method)
+    want = np.asarray(_apply_axis(x, idx, w, 1))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_banded_matmul_width_axis():
+    import jax
+    import jax.numpy as jnp
+
+    from vfisr_tpu.core.resize import _apply_axis_matmul, _tap_table_cached, _apply_axis
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((1, 24, 960, 3), np.float32))
+    got = np.asarray(
+        _apply_axis_matmul(x, 960, 1280, "lanczos4", 2, jax.lax.Precision.HIGHEST)
+    )
+    idx, w = _tap_table_cached(960, 1280, "lanczos4")
+    want = np.asarray(_apply_axis(x, idx, w, 2))
+    np.testing.assert_allclose(got, want, atol=2e-5)

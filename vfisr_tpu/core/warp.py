@@ -154,9 +154,38 @@ def _pallas_warp_fwd(img, flow, t, border, radius=8, compute_dtype=jnp.float32):
 
 
 def _pallas_warp_bwd(border, radius, compute_dtype, residuals, ct):
+    """Gather-free backward: the flow gradient is per-pixel LOCAL
+    (out[p] depends on flow[p] only), so it is two more windowed Pallas
+    passes with derivative hat weights — no scatter anywhere. The image
+    cotangent (the transpose warp) still goes through the gather
+    formulation's VJP, but it only materializes when the warped operand is
+    itself differentiated (feature warps, e.g. SAFA); when warping input
+    frames — every IFNet site — XLA prunes it as dead code.
+    """
+    from vfisr_tpu.ops.pallas.warp import warp_windowed
+
     img, flow, t = residuals
-    _, vjp = jax.vjp(lambda i, f, tt: flow_warp(i, f, tt, border=border), img, flow, t)
-    return vjp(ct)
+    gy = warp_windowed(img, flow, t, r=radius, border=border,
+                       compute_dtype=compute_dtype, weight_mode="grad_y")
+    gx = warp_windowed(img, flow, t, r=radius, border=border,
+                       compute_dtype=compute_dtype, weight_mode="grad_x")
+    cg_y = jnp.sum(ct * gy, axis=-1)  # [n, h, w] = d loss/d sy
+    cg_x = jnp.sum(ct * gx, axis=-1)
+    t_arr = jnp.asarray(t, cg_y.dtype)
+    t_b = t_arr[:, None, None] if t_arr.ndim == 1 else t_arr
+    # sample position is (x + t·u, y + t·v): chain factors
+    gflow = jnp.stack([cg_x * t_b, cg_y * t_b], axis=-1).astype(flow.dtype)
+    per_batch_gt = jnp.sum(
+        cg_x * flow[..., 0] + cg_y * flow[..., 1], axis=(1, 2)
+    )
+    gt = (per_batch_gt if t_arr.ndim == 1 else jnp.sum(per_batch_gt)).astype(
+        t_arr.dtype
+    )
+    _, img_vjp = jax.vjp(
+        lambda i: flow_warp(i, flow, t, border=border), img
+    )
+    (gimg,) = img_vjp(ct)
+    return gimg, gflow, gt
 
 
 _pallas_warp_diff.defvjp(_pallas_warp_fwd, _pallas_warp_bwd)

@@ -70,6 +70,7 @@ def _warp_kernel(
     fold_odd_row: bool = False,  # bf16: roll even rows only, odd slack in ry
     bitcast_roll: bool = False,  # bf16 compiled path (32-bit-only rotate)
     skip_roll: bool = False,  # TIMING ONLY: wrong output, isolates roll cost
+    weight_mode: str = "interp",  # 'interp' | 'grad_y' | 'grad_x'
 ):
     n = pl.program_id(0)
     ty = pl.program_id(1)
@@ -91,8 +92,10 @@ def _warp_kernel(
     cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
     y_abs = (pt + ty * th).astype(jnp.float32) + rows
     x_abs = (pl_ + tx * tw).astype(jnp.float32) + cols
-    sy = jnp.clip(y_abs + fy_ref[0, 0].astype(jnp.float32) * t, ylo, yhi)
-    sx = jnp.clip(x_abs + fx_ref[0, 0].astype(jnp.float32) * t, xlo, xhi)
+    sy_raw = y_abs + fy_ref[0, 0].astype(jnp.float32) * t
+    sx_raw = x_abs + fx_ref[0, 0].astype(jnp.float32) * t
+    sy = jnp.clip(sy_raw, ylo, yhi)
+    sx = jnp.clip(sx_raw, xlo, xhi)
 
     row_slack = (packed >> 7) & 0xF
     col_slack = packed & 0x7F
@@ -102,12 +105,10 @@ def _warp_kernel(
     else:
         oy_eff = oy + row_slack
     ox_eff = ox + col_slack
-    ry = jnp.clip(
-        sy - oy_eff.astype(jnp.float32) - rows, 0.0, nsh_y - 1.001
-    )
-    rx = jnp.clip(
-        sx - ox_eff.astype(jnp.float32) - cols, 0.0, nsh_x - 1.001
-    )
+    ry_raw = sy - oy_eff.astype(jnp.float32) - rows
+    rx_raw = sx - ox_eff.astype(jnp.float32) - cols
+    ry = jnp.clip(ry_raw, 0.0, nsh_y - 1.001)
+    rx = jnp.clip(rx_raw, 0.0, nsh_x - 1.001)
 
     # Factorized hat weights, shared across channels: the horizontal taps
     # wx_b depend only on the output pixel, not on the vertical shift a —
@@ -115,11 +116,39 @@ def _warp_kernel(
     # window the inner (horizontal) sum runs in bf16 (≤2 nonzero hat taps
     # per pixel → ≤1 bf16 ulp of the pixel); the outer vertical
     # accumulation stays f32.
+    #
+    # grad modes (the warp VJP's flow gradient, which is per-pixel local —
+    # no scatter): replace one axis' hat with its derivative
+    # hat'(d) = -sign(d)·[|d|<1], masked to zero wherever the source
+    # coordinate or residual was clipped (border clamp ⇒ d out/d flow = 0).
     cdt = win.dtype
-    wxs = [
-        jnp.maximum(0.0, 1.0 - jnp.abs(rx - b)).astype(cdt) for b in range(nsh_x)
-    ]
-    wys = [jnp.maximum(0.0, 1.0 - jnp.abs(ry - a)) for a in range(nsh_y)]
+
+    def hat(d):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+    def dhat(d):
+        # floor-consistent bilinear derivative (half-open support, so the
+        # gradient at EXACT integer coordinates — e.g. zero-init flow — is
+        # v[k+1]-v[k], matching d/df of (1-f)·v[k] + f·v[k+1] at f=0, not 0)
+        return jnp.where(
+            (d >= 0.0) & (d < 1.0),
+            -1.0,
+            jnp.where((d >= -1.0) & (d < 0.0), 1.0, 0.0),
+        )
+
+    if weight_mode == "grad_x":
+        vx = ((sx_raw >= xlo) & (sx_raw < xhi)
+              & (rx_raw >= 0.0) & (rx_raw < nsh_x - 1.001)).astype(jnp.float32)
+        wxs = [(dhat(rx - b) * vx).astype(cdt) for b in range(nsh_x)]
+        wys = [hat(ry - a) for a in range(nsh_y)]
+    elif weight_mode == "grad_y":
+        vy = ((sy_raw >= ylo) & (sy_raw < yhi)
+              & (ry_raw >= 0.0) & (ry_raw < nsh_y - 1.001)).astype(jnp.float32)
+        wxs = [hat(rx - b).astype(cdt) for b in range(nsh_x)]
+        wys = [dhat(ry - a) * vy for a in range(nsh_y)]
+    else:
+        wxs = [hat(rx - b).astype(cdt) for b in range(nsh_x)]
+        wys = [hat(ry - a) for a in range(nsh_y)]
 
     copy.wait()
 
@@ -149,7 +178,8 @@ def _warp_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "r", "tile", "border", "interpret", "compute_dtype", "_timing_skip_roll"
+        "r", "tile", "border", "interpret", "compute_dtype",
+        "weight_mode", "_timing_skip_roll",
     ),
 )
 def warp_windowed(
@@ -161,6 +191,7 @@ def warp_windowed(
     border: str = "replicate",
     interpret: bool = False,
     compute_dtype: jnp.dtype = jnp.float32,
+    weight_mode: str = "interp",
     _timing_skip_roll: bool = False,  # benchmark-only: wrong output
 ) -> jnp.ndarray:
     """Backward-warp img by t·flow without gathers.
@@ -174,6 +205,10 @@ def warp_windowed(
     compute_dtype: window/horizontal-sum dtype. bfloat16 halves DMA + roll
     volume; worst-case error ~2 bf16 ulps of the pixel (~1 uint8 LSB) —
     fine for model-internal warps, keep f32 for cv2-parity paths.
+    weight_mode: 'interp' (the warp), or 'grad_y'/'grad_x' — the same
+    windowed sum with one axis' hat weights replaced by their derivative:
+    returns d out/d sy (resp. d out/d sx) per pixel/channel, used by the
+    warp VJP to get the flow gradient without any gather or scatter.
     """
     n, h, w, c = img.shape
     th, tw = tile
@@ -282,6 +317,7 @@ def warp_windowed(
         # interpret mode has no native-layout bitcast; direct roll works there
         bitcast_roll=is_bf16 and not interpret,
         skip_roll=_timing_skip_roll,
+        weight_mode=weight_mode,
     )
     out = pl.pallas_call(
         kernel,
