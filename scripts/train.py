@@ -21,7 +21,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="rife_lite",
-                        choices=["rife", "rife_lite", "safa", "vfimamba", "vfimamba_s"])
+                        choices=["rife", "rife_lite", "safa", "vfimamba",
+                                 "vfimamba_s", "span", "span_x4"])
     parser.add_argument("--data", default=None,
                         help="data/processed dir (default: synthetic scenes)")
     parser.add_argument("--steps", type=int, default=2000)
@@ -40,11 +41,18 @@ def main():
     import numpy as np
 
     from vfisr_tpu.models.registry import get_model
-    from vfisr_tpu.train.data import TripletCropDataset, synthetic_batch
-    from vfisr_tpu.train.train import TrainState, create_train_state, make_train_step
+    from vfisr_tpu.train.data import (
+        TripletCropDataset, synthetic_pool_iter, synthetic_sr_batch,
+    )
+    from vfisr_tpu.train.train import (
+        TrainState, create_train_state, make_sr_train_step, make_train_step,
+    )
     from vfisr_tpu.utils.checkpoint import load_params, save_params
 
-    model = get_model(args.model)
+    is_sr = args.model.startswith("span")
+    reg_name = "span" if args.model.startswith("span") else args.model
+    reg_kw = {"scale": 4} if args.model == "span_x4" else {}
+    model = get_model(reg_name, **reg_kw)
     model.load(weights_path=args.resume)
     # grab the underlying module apply fn
     apply_fn = model._apply
@@ -53,18 +61,27 @@ def main():
 
     state, tx = create_train_state(model.params, learning_rate=args.lr,
                                    total_steps=args.steps)
-    step_fn = make_train_step(apply_fn, tx)
+    if is_sr:
+        step_fn = make_sr_train_step(apply_fn, tx)
+        sr_scale = 4 if args.model == "span_x4" else 2
+        default_out = f"weights/span_x{sr_scale}.npz"
+    else:
+        step_fn = make_train_step(apply_fn, tx)
+        default_out = f"weights/{args.model}.npz"
 
-    out_path = args.out or f"weights/{args.model}.npz"
+    out_path = args.out or default_out
     rng = np.random.default_rng(args.seed)
-    if args.data:
+    if args.data and not is_sr:
         ds = TripletCropDataset(args.data, crop=args.crop, seed=args.seed)
         print(f"Training on {len(ds)} triplet crops from {args.data}")
         batch_iter = ds.batches(args.batch, args.steps)
-    else:
-        print("Training on synthetic gaming-motion scenes")
-        batch_iter = (synthetic_batch(rng, args.batch, args.crop)
+    elif is_sr:
+        print(f"Training SR x{sr_scale} on synthetic gaming scenes")
+        batch_iter = (synthetic_sr_batch(rng, args.batch, args.crop, sr_scale)
                       for _ in range(args.steps))
+    else:
+        print("Training on synthetic gaming-motion scenes (pooled/augmented)")
+        batch_iter = synthetic_pool_iter(rng, args.batch, args.crop, args.steps)
 
     # Host data generation overlaps device compute: a producer thread keeps
     # a small queue full (cv2 and jax readbacks both release the GIL), and
@@ -76,9 +93,15 @@ def main():
     q: "queue.Queue" = queue.Queue(maxsize=4)
 
     def producer():
-        for b in batch_iter:
-            q.put(b)
-        q.put(None)
+        try:
+            for b in batch_iter:
+                q.put(b)
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+        finally:
+            q.put(None)  # always unblock the consumer
 
     threading.Thread(target=producer, daemon=True).start()
 

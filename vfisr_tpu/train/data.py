@@ -144,3 +144,79 @@ def synthetic_batch(
         "gt": np.stack(gts).astype(np.float32) / 255.0,
         "t": np.asarray(ts, np.float32),
     }
+
+
+def synthetic_sr_batch(
+    rng: np.random.Generator, batch_size: int, crop: int = 192, scale: int = 2
+) -> dict:
+    """LR/HR pairs for SR training from the synthetic gaming scenes.
+
+    HR frames come from synthetic_batch (3 distinct frames per scene);
+    LR is the HR degraded with INTER_AREA decimation — the degradation the
+    pipeline actually applies (reference scripts/run_experiments.py:818-826
+    degrades with cv2 resize before SR upscaling).
+    """
+    c = crop - (crop % scale)
+    vb = synthetic_batch(rng, max(batch_size // 3 + 1, 1), c)
+    hrs = np.concatenate([vb["img0"], vb["img1"], vb["gt"]])[:batch_size]
+    lrs = np.stack(
+        [
+            cv2.resize(h, (c // scale, c // scale), interpolation=cv2.INTER_AREA)
+            for h in hrs
+        ]
+    )
+    return {"lr": lrs.astype(np.float32), "hr": hrs.astype(np.float32)}
+
+
+def augment_vfi_batch(rng: np.random.Generator, batch: dict) -> dict:
+    """Label-consistent augmentation of a VFI batch: spatial flips /
+    transpose (square crops), channel permutation, and time reversal
+    (img0 <-> img1 with t -> 1-t). All O(copy) numpy ops."""
+    img0, img1, gt, t = batch["img0"], batch["img1"], batch["gt"], batch["t"]
+    frames = [img0, img1, gt]
+    if rng.random() < 0.5:
+        frames = [f[:, :, ::-1] for f in frames]
+    if rng.random() < 0.5:
+        frames = [f[:, ::-1] for f in frames]
+    if frames[0].shape[1] == frames[0].shape[2] and rng.random() < 0.5:
+        frames = [np.swapaxes(f, 1, 2) for f in frames]
+    if rng.random() < 0.5:
+        perm = rng.permutation(3)
+        frames = [f[..., perm] for f in frames]
+    if rng.random() < 0.5:  # time reversal
+        frames = [frames[1], frames[0], frames[2]]
+        t = 1.0 - t
+    return {
+        "img0": np.ascontiguousarray(frames[0]),
+        "img1": np.ascontiguousarray(frames[1]),
+        "gt": np.ascontiguousarray(frames[2]),
+        "t": np.asarray(t, np.float32),
+    }
+
+
+def synthetic_pool_iter(
+    rng: np.random.Generator,
+    batch_size: int,
+    crop: int,
+    steps: int,
+    fresh_every: int = 8,
+    pool_max: int = 512,
+) -> Iterator[dict]:
+    """Amortized synthetic-batch stream.
+
+    Fresh scene generation costs ~1 s/batch on the single host core —
+    ~30x the 32-ms train step — so the stream keeps a pool of generated
+    batches and serves cheap augmented samples (augment_vfi_batch), with a
+    fresh batch generated every `fresh_every` steps to keep refreshing the
+    pool (evicting a random entry once full)."""
+    pool: List[dict] = [synthetic_batch(rng, batch_size, crop)]
+    for step in range(steps):
+        if step % fresh_every == 0:
+            fresh = synthetic_batch(rng, batch_size, crop)
+            if len(pool) >= pool_max:
+                pool[int(rng.integers(len(pool)))] = fresh
+            else:
+                pool.append(fresh)
+            yield fresh
+        else:
+            yield augment_vfi_batch(rng, pool[int(rng.integers(len(pool)))])

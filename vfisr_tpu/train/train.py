@@ -58,6 +58,39 @@ def vfi_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return l_char + 0.1 * l_census
 
 
+def sr_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Charbonnier reconstruction loss (the standard efficient-SR recipe)."""
+    return jnp.mean(charbonnier(pred - gt))
+
+
+def make_sr_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    loss_fn: Callable = sr_loss,
+):
+    """Train step for SR models: apply_fn(params, lr) -> hr_pred.
+
+    Batch pytree: {lr [N,h,w,3], hr [N,h·s,w·s,3]}; same sharding scheme
+    as the VFI step (params replicated, batch over 'data')."""
+
+    def forward(params, batch):
+        pred = apply_fn(params, batch["lr"])
+        return loss_fn(pred, batch["hr"])
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(forward)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), loss
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(repl, batch_sh), out_shardings=(repl, repl))
+
+
 def create_train_state(
     params: Any,
     learning_rate: float = 2e-4,
