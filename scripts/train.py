@@ -34,6 +34,13 @@ def main():
     parser.add_argument("--log-every", type=int, default=50)
     parser.add_argument("--save-every", type=int, default=500)
     parser.add_argument("--resume", default=None, help="Resume from .npz")
+    parser.add_argument(
+        "--data-source", default="auto",
+        choices=["auto", "device", "host"],
+        help="synthetic-scene generator: 'device' builds batches on-chip "
+        "(no host->device transfer — the tunnel moves ~44 MB/s, so a host "
+        "batch costs ~30 train steps); 'auto' = device on TPU, host "
+        "elsewhere. Ignored with --data.")
     args = parser.parse_args()
 
     import jax
@@ -71,10 +78,37 @@ def main():
 
     out_path = args.out or default_out
     rng = np.random.default_rng(args.seed)
+    use_device_gen = not args.data and (
+        args.data_source == "device"
+        or (args.data_source == "auto"
+            and jax.devices()[0].platform == "tpu")
+    )
+    batch_iter = None
     if args.data and not is_sr:
         ds = TripletCropDataset(args.data, crop=args.crop, seed=args.seed)
         print(f"Training on {len(ds)} triplet crops from {args.data}")
         batch_iter = ds.batches(args.batch, args.steps)
+    elif use_device_gen:
+        from vfisr_tpu.train.device_data import device_synthetic_batch
+
+        print("Training on synthetic gaming-motion scenes (ON-DEVICE gen)")
+        gen_key = jax.random.PRNGKey(args.seed)
+
+        def device_batch(step):
+            b = device_synthetic_batch(
+                jax.random.fold_in(gen_key, step), args.batch, args.crop
+            )
+            if is_sr:
+                from vfisr_tpu.core.resize import resize
+
+                hr = b["gt"]
+                lr = resize(
+                    hr,
+                    (args.crop // sr_scale, args.crop // sr_scale),
+                    "area",
+                )
+                return {"lr": lr, "hr": hr}
+            return b
     elif is_sr:
         print(f"Training SR x{sr_scale} on synthetic gaming scenes")
         batch_iter = (synthetic_sr_batch(rng, args.batch, args.crop, sr_scale)
@@ -86,33 +120,37 @@ def main():
     # Host data generation overlaps device compute: a producer thread keeps
     # a small queue full (cv2 and jax readbacks both release the GIL), and
     # losses stay on-device between log intervals so the step loop never
-    # blocks on the ~30 ms tunnel readback.
+    # blocks on the ~30 ms tunnel readback. (Unused for on-device gen.)
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=4)
+    if batch_iter is not None:
 
-    def producer():
-        try:
-            for b in batch_iter:
-                q.put(b)
-        except Exception:
-            import traceback
+        def producer():
+            try:
+                for b in batch_iter:
+                    q.put(b)
+            except Exception:
+                import traceback
 
-            traceback.print_exc()
-        finally:
-            q.put(None)  # always unblock the consumer
+                traceback.print_exc()
+            finally:
+                q.put(None)  # always unblock the consumer
 
-    threading.Thread(target=producer, daemon=True).start()
+        threading.Thread(target=producer, daemon=True).start()
 
     t0 = time.time()
     window: list = []  # device scalars, read back only at log time
     last_loss = float("nan")
     for step in range(1, args.steps + 1):
-        batch = q.get()
-        if batch is None:
-            break
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if batch_iter is None:
+            batch = device_batch(step)
+        else:
+            batch = q.get()
+            if batch is None:
+                break
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, loss = step_fn(state, batch)
         window.append(loss)
         if step % args.log_every == 0:

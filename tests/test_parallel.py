@@ -135,3 +135,28 @@ def test_augmented_pool_iter_label_consistency():
         assert err < 0.25
         seen += 1
     assert seen == 12
+
+
+def test_device_synthetic_batch():
+    """On-device scene generator: correct shapes/ranges, real motion,
+    GT on the motion path, HUD static across all three frames."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfisr_tpu.train.device_data import device_synthetic_batch
+
+    b = device_synthetic_batch(jax.random.PRNGKey(3), 4, 96)
+    i0, i1, gt, t = (np.asarray(b[k]) for k in ("img0", "img1", "gt", "t"))
+    assert i0.shape == (4, 96, 96, 3) and t.shape == (4,)
+    assert i0.min() >= 0.0 and i0.max() <= 1.0
+    assert np.mean(np.abs(i0 - i1)) > 0.02  # motion exists
+    blend = (1 - t[:, None, None, None]) * i0 + t[:, None, None, None] * i1
+    assert np.mean(np.abs(blend - gt)) < 0.25  # gt lies between endpoints
+    hud = (i0 > 0.97).all(axis=-1)
+    if hud.any():  # static HUD must not move
+        assert np.abs(i0 - i1)[hud].max() < 1e-5
+        assert np.abs(i0 - gt)[hud].max() < 1e-5
+    # determinism by key
+    b2 = device_synthetic_batch(jax.random.PRNGKey(3), 4, 96)
+    np.testing.assert_allclose(np.asarray(b2["img0"]), i0)
