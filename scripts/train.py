@@ -35,6 +35,13 @@ def main():
     parser.add_argument("--save-every", type=int, default=500)
     parser.add_argument("--resume", default=None, help="Resume from .npz")
     parser.add_argument(
+        "--level-radius", default=None,
+        help="rife models: level warp radius 'ry,rx' to train/finetune at "
+        "(the net adapts to the Pallas warp's residual clamp)")
+    parser.add_argument(
+        "--final-radius", default=None,
+        help="rife models: final fusion warp radius 'ry,rx'")
+    parser.add_argument(
         "--data-source", default="auto",
         choices=["auto", "device", "host"],
         help="synthetic-scene generator: 'device' builds batches on-chip "
@@ -59,6 +66,21 @@ def main():
     is_sr = args.model.startswith("span")
     reg_name = "span" if args.model.startswith("span") else args.model
     reg_kw = {"scale": 4} if args.model == "span_x4" else {}
+    if args.model.startswith("rife") and (args.level_radius or args.final_radius):
+        import dataclasses
+
+        from vfisr_tpu.models.sota.rife import RIFELiteModel, RIFEModel
+
+        base_cfg = (RIFELiteModel.CONFIG if args.model == "rife_lite"
+                    else RIFEModel.CONFIG)
+        overrides = {}
+        if args.level_radius:
+            overrides["level_warp_radius"] = tuple(
+                int(v) for v in args.level_radius.split(","))
+        if args.final_radius:
+            overrides["final_warp_radius"] = tuple(
+                int(v) for v in args.final_radius.split(","))
+        reg_kw["config"] = dataclasses.replace(base_cfg, **overrides)
     model = get_model(reg_name, **reg_kw)
     model.load(weights_path=args.resume)
     # grab the underlying module apply fn

@@ -75,6 +75,15 @@ def _lrelu(x):
     return nn.leaky_relu(x, negative_slope=0.2)
 
 
+# Conv-lowering note: a 9-shifted-GEMM "taps" lowering of the 3×3 trunk
+# convs measures 2.7× faster than XLA's native conv IN ISOLATION
+# (scripts/profile_conv.py: 0.093 vs 0.253 ms at block2's trunk shape) but
+# LOSES inside the full IFNet forward (29.6 vs 26.3 ms at 3×1080p bf16,
+# trunk-only; 76.9 ms if applied to the stride-2 encoders too): in context
+# XLA fuses the lrelu/residual chain into the native conv and schedules it
+# better than 9 separate GEMMs + adds. Keep native convs.
+
+
 def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(x, (*x.shape[:-3], *hw, x.shape[-1]), "bilinear")
 
@@ -266,10 +275,13 @@ class RIFEModel(BaseModel):
     NAME = "RIFE"
     PAD_MULTIPLE = 32  # reference pads to x32 via base helper (x128 in scripts)
 
-    def __init__(self, device: str = "tpu", uhd_mode: bool = False, seed: int = 0):
+    def __init__(self, device: str = "tpu", uhd_mode: bool = False,
+                 seed: int = 0, config: Optional[RIFEConfig] = None):
         super().__init__(device)
         self.uhd_mode = uhd_mode  # reference: scale 0.5 for >=4K inputs
         self.seed = seed
+        if config is not None:
+            self.CONFIG = config  # instance override (e.g. warp-radius sweeps)
         self.params = None
         self._apply = None
 
