@@ -45,10 +45,18 @@ def main():
     PAIRS = 1  # frame pairs per device step (offline throughput, like the
     # reference's 147-pair sweep; VPU/MXU utilization improves with batch)
 
-    # deployment precision: bf16 activations (the TPU analog of the
+    # deployment config: bf16 activations (the TPU analog of the
     # reference's fp16 TensorRT engines, README.md:335-348), bf16 Pallas
-    # warp windows (≈56 dB noise floor), f32 params.
-    cfg = RIFEConfig(dtype=jnp.bfloat16)
+    # warp windows (≈56 dB noise floor), f32 params, reduced warp residual
+    # radii l=(2,2)/f=(3,4) — measured −0.64 dB midpoint PSNR vs the
+    # quality config's l=(2,4)/f=(4,6) (32.4 vs 33.0 dB on held-out scenes,
+    # scripts/profile_radius.py) for ~3.7 ms/step; the same speed/quality
+    # dial the reference's TensorRT deployment turns.
+    cfg = RIFEConfig(
+        dtype=jnp.bfloat16,
+        level_warp_radius=(2, 2),
+        final_warp_radius=(3, 4),
+    )
     module = IFNet(cfg)
     params = module.init(
         jax.random.PRNGKey(0),

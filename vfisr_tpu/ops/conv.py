@@ -62,21 +62,35 @@ def _restore(x: jnp.ndarray, squeeze) -> jnp.ndarray:
 
 
 def _depthwise_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """x [N,H,W,C], kernel [kh,kw] → VALID depthwise correlation."""
-    c = x.shape[-1]
+    """x [N,H,W,C], kernel [kh,kw] → VALID depthwise correlation.
+
+    Lowered as kh·kw shifted FMAs over static slices, NOT a grouped
+    lax.conv: TPU lowers feature_group_count=C convs off the MXU fast
+    path, and f32 HIGHEST-precision convs multiply the pass count — the
+    shift-add form is plain fused VPU work with exact f32 taps (measured:
+    the 480x270 Farneback router analysis dropped ~an order of magnitude).
+    Numerics identical to correlation up to f32 add order.
+    """
     kh, kw = kernel.shape
-    k = jnp.broadcast_to(kernel[:, :, None, None], (kh, kw, 1, c)).astype(x.dtype)
-    # precision='highest' keeps f32 taps exact — the default here truncates
-    # operands to bf16, which breaks cv2 parity for metric kernels.
-    return jax.lax.conv_general_dilated(
-        x,
-        k,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    oh = x.shape[1] - (kh - 1)
+    ow = x.shape[2] - (kw - 1)
+    is_static = isinstance(kernel, np.ndarray)
+    kern = np.asarray(kernel, np.float32) if is_static else kernel
+    acc = None
+    for i in range(kh):
+        for j in range(kw):
+            if is_static:
+                w = float(kern[i, j])
+                if w == 0.0:
+                    continue
+                wj = jnp.asarray(w, x.dtype)
+            else:  # traced kernel (e.g. a windowed-metric weight tensor)
+                wj = kern[i, j].astype(x.dtype)
+            term = x[:, i : i + oh, j : j + ow, :] * wj
+            acc = term if acc is None else acc + term
+    if acc is None:
+        acc = jnp.zeros((x.shape[0], oh, ow, x.shape[3]), x.dtype)
+    return acc
 
 
 def _pad_reflect(x: jnp.ndarray, ph: int, pw: int, mode: str) -> jnp.ndarray:
@@ -95,7 +109,7 @@ def filter2d(x: jnp.ndarray, kernel: np.ndarray, border: str = "reflect") -> jnp
     x, squeeze = _ensure_nhwc(x)
     kh, kw = kernel.shape
     xp = _pad_reflect(x, kh // 2, kw // 2, border)
-    out = _depthwise_conv(xp, jnp.asarray(kernel))
+    out = _depthwise_conv(xp, np.asarray(kernel))
     return _restore(out, squeeze)
 
 
@@ -107,9 +121,9 @@ def sep_filter2d(
     kc = np.asarray(kcol).reshape(-1, 1)
     kr = np.asarray(krow).reshape(1, -1)
     xp = _pad_reflect(x, kc.shape[0] // 2, 0, border)
-    out = _depthwise_conv(xp, jnp.asarray(kc))
+    out = _depthwise_conv(xp, kc)
     out = _pad_reflect(out, 0, kr.shape[1] // 2, border)
-    out = _depthwise_conv(out, jnp.asarray(kr))
+    out = _depthwise_conv(out, kr)
     return _restore(out, squeeze)
 
 
