@@ -84,7 +84,30 @@ def _lrelu(x):
 # better than 9 separate GEMMs + adds. Keep native convs.
 
 
+def _up2_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x bilinear upsample along one axis (half-pixel mapping,
+    edge-clamped — jax.image.resize 'bilinear' semantics) as 4 shifted
+    FMAs: out[2k] = 0.25·in[k-1] + 0.75·in[k], out[2k+1] = 0.75·in[k] +
+    0.25·in[k+1]. Memory-bound instead of the dense resize matmul."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad, mode="edge")
+    lo = jax.lax.slice_in_dim(xp, 0, n, axis=axis)
+    mid = jax.lax.slice_in_dim(xp, 1, n + 1, axis=axis)
+    hi = jax.lax.slice_in_dim(xp, 2, n + 2, axis=axis)
+    even = 0.25 * lo + 0.75 * mid
+    odd = 0.75 * mid + 0.25 * hi
+    y = jnp.stack([even, odd], axis=axis + 1)
+    return y.reshape(x.shape[:axis] + (2 * n,) + x.shape[axis + 1 :])
+
+
 def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    h, w = x.shape[-3], x.shape[-2]
+    if hw == (h, w):
+        return x
+    if hw == (2 * h, 2 * w):  # the pyramid's level-to-level upsample
+        return _up2_axis(_up2_axis(x, x.ndim - 3), x.ndim - 2)
     return jax.image.resize(x, (*x.shape[:-3], *hw, x.shape[-1]), "bilinear")
 
 
