@@ -43,3 +43,30 @@ def test_flow_warp_zero_border(sample_rgb_frame):
     flow = np.full((1, 32, 32, 2), 40.0, np.float32)  # everything out of range
     out = np.asarray(flow_warp(img, flow, 1.0))
     assert np.all(out == 0.0)
+
+
+def test_warp_transpose_shifted_matches_gather_vjp():
+    import jax.numpy as jnp
+
+    """Dense shifted adjoint (SAFA feature-warp image gradient) vs
+    jax.grad of the gather warp, for flows within the clamp."""
+    import jax
+
+    from vfisr_tpu.core.warp import flow_warp, warp_transpose_shifted
+
+    rng = np.random.default_rng(2)
+    n, h, w, c = 1, 20, 28, 5
+    img = jnp.asarray(rng.random((n, h, w, c), np.float32))
+    ct = jnp.asarray(rng.random((n, h, w, c), np.float32))
+    for border in ("replicate", "constant"):
+        for flow in (
+            jnp.asarray((rng.random((n, h, w, 2), np.float32) - 0.5) * 10),
+            jnp.zeros((n, h, w, 2), jnp.float32),
+        ):
+            ref = jax.grad(
+                lambda i: jnp.sum(flow_warp(i, flow, 1.0, border=border) * ct)
+            )(img)
+            got = warp_transpose_shifted(ct, flow, 1.0, border=border,
+                                         max_disp=6)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-6)

@@ -120,25 +120,35 @@ def backward_warp(
     backend: str | None = None,
     radius: int = 8,
     compute_dtype: jnp.dtype = jnp.float32,
+    img_grad: str = "gather",
 ) -> jnp.ndarray:
     """Backend-dispatched backward warp: exact gather or the Pallas
     windowed kernel (ops/pallas/warp.py) — numerically equal for flows
     whose intra-tile deviation stays within the kernel's residual radius.
     compute_dtype=bfloat16 halves the Pallas kernel's DMA/roll volume at a
-    ~2-ulp (≈56 dB) noise floor — for model-internal warps only."""
+    ~2-ulp (≈56 dB) noise floor — for model-internal warps only.
+
+    img_grad selects the image-cotangent path of the Pallas VJP:
+    'gather' (exact; DCE'd when the warped operand isn't differentiated —
+    every IFNet site; lowers to a serial scatter otherwise) or
+    'shifted:<R>' (warp_transpose_shifted dense adjoint, exact for
+    |t·flow| ≤ R — for trainable FEATURE warps, e.g. SAFA, whose flows
+    the caller clamps to ±R)."""
     backend = backend or default_warp_backend()
     if border == "reflect":  # pallas kernel supports replicate/constant only
         backend = "gather"
     if backend == "pallas":
-        return _pallas_warp_diff(img, flow, t, border, radius, compute_dtype)
+        return _pallas_warp_diff(img, flow, t, border, radius, compute_dtype,
+                                 img_grad)
     return flow_warp(img, flow, t, border=border)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _pallas_warp_diff(img, flow, t, border, radius=8, compute_dtype=jnp.float32):
-    """Pallas forward with an exact-gather backward (the Pallas kernel has
-    no autodiff rule; the gather formulation's VJP is numerically the same
-    warp gradient)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _pallas_warp_diff(img, flow, t, border, radius=8,
+                      compute_dtype=jnp.float32, img_grad="gather"):
+    """Pallas forward with a gather-free backward for the flow (two more
+    windowed passes with derivative hat weights) and a selectable image-
+    cotangent path (see backward_warp)."""
     from vfisr_tpu.ops.pallas.warp import warp_windowed
 
     return warp_windowed(
@@ -146,21 +156,25 @@ def _pallas_warp_diff(img, flow, t, border, radius=8, compute_dtype=jnp.float32)
     )
 
 
-def _pallas_warp_fwd(img, flow, t, border, radius=8, compute_dtype=jnp.float32):
+def _pallas_warp_fwd(img, flow, t, border, radius=8,
+                     compute_dtype=jnp.float32, img_grad="gather"):
     return (
-        _pallas_warp_diff(img, flow, t, border, radius, compute_dtype),
+        _pallas_warp_diff(img, flow, t, border, radius, compute_dtype,
+                          img_grad),
         (img, flow, t),
     )
 
 
-def _pallas_warp_bwd(border, radius, compute_dtype, residuals, ct):
+def _pallas_warp_bwd(border, radius, compute_dtype, img_grad, residuals, ct):
     """Gather-free backward: the flow gradient is per-pixel LOCAL
     (out[p] depends on flow[p] only), so it is two more windowed Pallas
     passes with derivative hat weights — no scatter anywhere. The image
-    cotangent (the transpose warp) still goes through the gather
-    formulation's VJP, but it only materializes when the warped operand is
-    itself differentiated (feature warps, e.g. SAFA); when warping input
-    frames — every IFNet site — XLA prunes it as dead code.
+    cotangent (the transpose warp) goes through the gather formulation's
+    VJP by default — it only materializes when the warped operand is
+    itself differentiated (feature warps, e.g. SAFA; every IFNet site has
+    it DCE'd) — or through the dense shifted adjoint for clamped-flow
+    feature warps (img_grad='shifted:<R>'; the scatter lowering of the
+    gather VJP stalls the TPU compiler at training shapes).
     """
     from vfisr_tpu.ops.pallas.warp import warp_windowed
 
@@ -181,14 +195,79 @@ def _pallas_warp_bwd(border, radius, compute_dtype, residuals, ct):
     gt = (per_batch_gt if t_arr.ndim == 1 else jnp.sum(per_batch_gt)).astype(
         t_arr.dtype
     )
-    _, img_vjp = jax.vjp(
-        lambda i: flow_warp(i, flow, t, border=border), img
-    )
-    (gimg,) = img_vjp(ct)
+    if img_grad.startswith("shifted"):
+        disp = int(img_grad.split(":")[1]) if ":" in img_grad else 8
+        gimg = warp_transpose_shifted(ct, flow, t, border=border,
+                                      max_disp=disp).astype(img.dtype)
+    else:
+        _, img_vjp = jax.vjp(
+            lambda i: flow_warp(i, flow, t, border=border), img
+        )
+        (gimg,) = img_vjp(ct)
     return gimg, gflow, gt
 
 
 _pallas_warp_diff.defvjp(_pallas_warp_fwd, _pallas_warp_bwd)
+
+
+def warp_transpose_shifted(
+    ct: jnp.ndarray,
+    flow: jnp.ndarray,
+    t: float | jnp.ndarray = 1.0,
+    border: str = "replicate",
+    max_disp: int = 8,
+) -> jnp.ndarray:
+    """Adjoint (transpose) of the bilinear backward warp, gather/scatter-free.
+
+    The warp's image cotangent is gimg[q] = Σ_p w(p→q)·ct[p] — a SCATTER in
+    the gather formulation, which TPU lowers serially (it stalled the SAFA
+    train-step compile entirely). For flows bounded by ±max_disp, every
+    output pixel p that samples q satisfies |p−q| ≤ max_disp+1, so the
+    adjoint is a dense sum over (2·max_disp+3)² shifted FMAs:
+
+        gimg[q] = Σ_o ct[q−o] · hat(sy[q−o] − q_y) · hat(sx[q−o] − q_x)
+
+    (hat = bilinear weight; vanishes except at the two integer neighbours,
+    so the true 4-tap adjoint is recovered). Exact vs the gather VJP
+    wherever |t·flow| ≤ max_disp — callers must clamp the flow they warp
+    with (e.g. SAFA clamps feature flows). Used by the warp VJP for
+    feature warps, where the image operand needs gradients.
+
+    ct/flow: [N,H,W,C]/[N,H,W,2] (u=dx, v=dy). Cost scales with max_disp²
+    — meant for training-crop feature maps, not full-res frames.
+    """
+    n, h, w, c = ct.shape
+    R = int(max_disp) + 1
+    dt = jnp.promote_types(ct.dtype, jnp.float32)
+    t_arr = jnp.asarray(t, dt)
+    if t_arr.ndim == 1:
+        t_arr = t_arr[:, None, None]
+    ys = jax.lax.broadcasted_iota(dt, (n, h, w), 1)
+    xs = jax.lax.broadcasted_iota(dt, (n, h, w), 2)
+    sy = ys + flow[..., 1].astype(dt) * t_arr
+    sx = xs + flow[..., 0].astype(dt) * t_arr
+    if border == "replicate":
+        sy = jnp.clip(sy, 0.0, h - 1.0)
+        sx = jnp.clip(sx, 0.0, w - 1.0)
+    pad3 = ((0, 0), (R, R), (R, R))
+    # out-of-range p contribute nothing: zero-pad ct and the coords (the
+    # padded coords' hats vanish against in-range q because ct is 0 there)
+    ctp = jnp.pad(ct.astype(dt), pad3 + ((0, 0),))
+    syp = jnp.pad(sy, pad3, constant_values=-1e6)
+    sxp = jnp.pad(sx, pad3, constant_values=-1e6)
+    acc = jnp.zeros((n, h, w, c), dt)
+    for oy in range(2 * R + 1):
+        for ox in range(2 * R + 1):
+            # index q - o in padded space: [oy: oy+h, ox: ox+w] covers
+            # p = q + (R - oy, R - ox)
+            ct_s = ctp[:, oy : oy + h, ox : ox + w]
+            sy_s = syp[:, oy : oy + h, ox : ox + w]
+            sx_s = sxp[:, oy : oy + h, ox : ox + w]
+            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(sy_s - ys)) * jnp.maximum(
+                0.0, 1.0 - jnp.abs(sx_s - xs)
+            )
+            acc = acc + ct_s * wgt[..., None]
+    return acc.astype(ct.dtype)
 
 
 def flow_warp(

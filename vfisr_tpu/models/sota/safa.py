@@ -71,12 +71,22 @@ class SAFANet(nn.Module):
             jnp.reshape(jnp.asarray(timestep, img0.dtype), (-1, 1, 1, 1)), (n, h4, w4, 1)
         )
 
+        # Feature warps: flows clamped to ±8 at 1/4 res (32 px full-res)
+        # so the warp VJP can use the dense shifted transpose for the
+        # feature gradient (img_grad='shifted:8') — the gather VJP's
+        # scatter lowering stalls the TPU compiler at train shapes, and
+        # unlike the IFNet's input-frame warps these operands NEED grads.
+        def _feat_warp(f, fl):
+            fl = jnp.clip(fl, -8.0, 8.0)
+            return backward_warp(f, fl, 1.0, border="replicate",
+                                 img_grad="shifted:8")
+
         # flow head: two refinement stages at 1/4 res
         flow = jnp.zeros((n, h4, w4, 4), img0.dtype)
         mask = jnp.zeros((n, h4, w4, 1), img0.dtype)
         for i in range(2):
-            w0 = backward_warp(f0, flow[..., 0:2], 1.0, border="replicate")
-            w1 = backward_warp(f1, flow[..., 2:4], 1.0, border="replicate")
+            w0 = _feat_warp(f0, flow[..., 0:2])
+            w1 = _feat_warp(f1, flow[..., 2:4])
             inp = jnp.concatenate([w0, w1, t_map4, mask, flow], axis=-1)
             hdd = _lrelu(conv(c, (3, 3), padding=1, name=f"flow{i}_a")(inp))
             hdd = _lrelu(conv(c, (3, 3), padding=1, name=f"flow{i}_b")(hdd)) + hdd
@@ -93,8 +103,8 @@ class SAFANet(nn.Module):
         fused = warped0 * mask_full + warped1 * (1.0 - mask_full)
 
         # aggregate warped features, decode to 2x via pixel shuffle
-        wf0 = backward_warp(f0, flow[..., 0:2], 1.0, border="replicate")
-        wf1 = backward_warp(f1, flow[..., 2:4], 1.0, border="replicate")
+        wf0 = _feat_warp(f0, flow[..., 0:2])
+        wf1 = _feat_warp(f1, flow[..., 2:4])
         agg = jnp.concatenate([wf0, wf1, t_map4], axis=-1)
         d = _lrelu(conv(c, (3, 3), padding=1, name="dec_a")(agg))
         for i in range(self.num_dec_blocks):
