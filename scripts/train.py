@@ -99,6 +99,17 @@ def main():
         default_out = f"weights/{args.model}.npz"
 
     out_path = args.out or default_out
+    # Never silently clobber a shipped checkpoint: a default-out run (e.g.
+    # a --level-radius fine-tune) would overwrite weights/<model>.npz at
+    # the first --save-every step. Overwriting requires an explicit --out,
+    # unless this run is resuming from that same file.
+    import os as _os
+
+    if (args.out is None and _os.path.exists(out_path)
+            and args.resume != out_path):
+        raise SystemExit(
+            f"{out_path} already exists; pass --out explicitly to overwrite "
+            f"(or --resume {out_path} to continue training it)")
     rng = np.random.default_rng(args.seed)
     use_device_gen = not args.data and (
         args.data_source == "device"

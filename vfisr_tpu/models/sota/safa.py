@@ -42,6 +42,12 @@ class SAFANet(nn.Module):
     c: int = 176
     num_dec_blocks: int = 8
     dtype: jnp.dtype = jnp.float32
+    # Feature-warp flow clamp at 1/4 res (x4 that in full-res px). Upstream
+    # SAFA does not clamp; ours bounds the warp so its VJP can use the dense
+    # shifted-transpose feature gradient (see _feat_warp). Training uses the
+    # default 8; inference may widen it (larger-radius transpose kernels
+    # cost more but stay gather-free). Documented in docs/PARITY.md.
+    feat_warp_clamp: float = 8.0
 
     @nn.compact
     def __call__(self, img0, img1, timestep):
@@ -71,15 +77,19 @@ class SAFANet(nn.Module):
             jnp.reshape(jnp.asarray(timestep, img0.dtype), (-1, 1, 1, 1)), (n, h4, w4, 1)
         )
 
-        # Feature warps: flows clamped to ±8 at 1/4 res (32 px full-res)
-        # so the warp VJP can use the dense shifted transpose for the
-        # feature gradient (img_grad='shifted:8') — the gather VJP's
-        # scatter lowering stalls the TPU compiler at train shapes, and
-        # unlike the IFNet's input-frame warps these operands NEED grads.
+        # Feature warps: flows clamped to +/-feat_warp_clamp at 1/4 res
+        # (4x that in full-res px) so the warp VJP can use the dense shifted
+        # transpose for the feature gradient (img_grad='shifted:R') — the
+        # gather VJP's scatter lowering stalls the TPU compiler at train
+        # shapes, and unlike the IFNet's input-frame warps these operands
+        # NEED grads.
+        clamp = float(self.feat_warp_clamp)
+        shift_r = int(np.ceil(clamp))
+
         def _feat_warp(f, fl):
-            fl = jnp.clip(fl, -8.0, 8.0)
+            fl = jnp.clip(fl, -clamp, clamp)
             return backward_warp(f, fl, 1.0, border="replicate",
-                                 img_grad="shifted:8")
+                                 img_grad=f"shifted:{shift_r}")
 
         # flow head: two refinement stages at 1/4 res
         flow = jnp.zeros((n, h4, w4, 4), img0.dtype)
@@ -124,9 +134,11 @@ class SAFANet(nn.Module):
 class SAFAModel(JointModel):
     """Joint VFI+SR (reference models/sota/safa_wrapper.py contract)."""
 
-    def __init__(self, device: str = "tpu", seed: int = 0):
+    def __init__(self, device: str = "tpu", seed: int = 0,
+                 feat_warp_clamp: float = 8.0):
         super().__init__(device)
         self.seed = seed
+        self.feat_warp_clamp = feat_warp_clamp
         self.params = None
         self._apply = None
 
@@ -153,7 +165,7 @@ class SAFAModel(JointModel):
 
         if weights_path is None and os.path.exists("weights/safa.npz"):
             weights_path = "weights/safa.npz"
-        module = SAFANet()
+        module = SAFANet(feat_warp_clamp=self.feat_warp_clamp)
         rng = jax.random.PRNGKey(self.seed)
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
         self.params = module.init(rng, dummy, dummy, jnp.asarray([0.5]))["params"]

@@ -1,0 +1,186 @@
+"""The flagship fused AdaptiveVFI step: one jitted device program.
+
+This is the BASELINE.md north-star configuration — full AdaptiveVFI
+(router analysis, scene-cut skip, HUD masking, RIFE expert, SR to 1440p)
+as ONE branchless XLA program per frame-pair batch: no host round-trips
+on the hot path (reference cost model: adaptive_pipeline.py:424-475 does
+host-side analysis + routing per pair; run_experiments.py:848-874 is the
+streaming 'adaptive' method that analyzes motion at 480x270).
+
+Deployment analysis resolution: the router signals are computed on a
+480x270 gray pair (the reference's own streaming-adaptive resolution,
+run_experiments.py:848-874), which makes the scene-cut SSIM input exactly
+the reference's 0.25x-of-1080p gray (adaptive_pipeline.py:140-160). The
+Farneback motion field is computed at that resolution and magnitudes are
+scaled x4 back to full-res pixels before thresholding — the same
+half-res-x2 trick the reference's own dataset pipeline uses
+(extract_intervals.py:67-91). Full-res analysis (AdaptiveRouter parity,
+adaptive_pipeline.py:108-138) remains available via
+``AdaptiveRouter.analyze_device``; this module is the deployment fast
+path whose routing decisions agree on the analysis signals' thresholds.
+
+Routing: the fused program applies the scene-cut and HUD composites
+branchlessly and runs the RIFE expert. Pairs the router flags for
+VFIMamba (particles / motion_max > 25) are reported in the returned
+signals so a caller can re-run them through the heavy expert
+(per-pair bucketing, AdaptivePipeline route_mode='hosted'); the
+reference's measured route mix is 97% RIFE (COMPREHENSIVE_REPORT.md:58).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vfisr_tpu.core.color import rgb_to_gray
+from vfisr_tpu.core.frames import pad_to_multiple, to_uint8, unpad
+from vfisr_tpu.core.resize import resize
+from vfisr_tpu.models.novel.adaptive_pipeline import _HUD_RES
+from vfisr_tpu.ops.conv import laplacian
+from vfisr_tpu.ops.flow import farneback_flow
+from vfisr_tpu.ops.morphology import morph_close, morph_open
+from vfisr_tpu.ops.ssim import ssim as ssim_windowed
+
+
+@dataclass(frozen=True)
+class FlagshipConfig:
+    """Deployment dials for the fused adaptive step."""
+
+    out_hw: Tuple[int, int] = (1440, 2560)
+    timestamps: Tuple[float, ...] = (0.25, 0.5, 0.75)
+    analysis_hw: Tuple[int, int] = (270, 480)  # reference streaming-adaptive res
+    scene_ssim_threshold: float = 0.65
+    particle_threshold: float = 0.4
+    hud_var_threshold: float = 10.0
+    hud_coverage_threshold: float = 0.01
+    motion_threshold_high: float = 25.0  # route-to-VFIMamba signal
+    sr_filter: str = "lanczos4"
+
+
+def analyze_small(f0, f1, history, history_count, cfg: FlagshipConfig):
+    """Router signals from a downscaled gray pair. f0/f1: [N,H,W,3] in [0,1].
+
+    history: [N,K,180,320] HUD gray ring; history_count: [N] valid entries.
+    """
+    n, h, w, _ = f0.shape
+    ah, aw = cfg.analysis_hw
+    flow_scale = h / ah
+    g0 = rgb_to_gray(resize(f0, (ah, aw), "linear") * 255.0)
+    g1 = rgb_to_gray(resize(f1, (ah, aw), "linear") * 255.0)
+
+    # scene cut: SSIM on the analysis gray (== reference 0.25x-of-1080p)
+    ssim_score = ssim_windowed(g0, g1)
+    is_scene = ssim_score < cfg.scene_ssim_threshold
+
+    # motion: Farneback at analysis res, magnitudes scaled to full-res px
+    flow = farneback_flow(g0, g1, 0.5, 3, 15, 3, 5, 1.2)
+    mag = jnp.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2) * flow_scale
+    motion_mean = jnp.mean(mag, axis=(1, 2))
+    motion_max = jnp.max(mag, axis=(1, 2))
+    motion_std = jnp.std(mag, axis=(1, 2))
+
+    # particles (adaptive_pipeline.py:163-191)
+    flow_score = jnp.minimum(motion_std / 20.0, 1.0)
+    lap = laplacian(g0[..., None])[..., 0]
+    lap_var = jnp.var(lap, axis=(1, 2))
+    freq_score = jnp.minimum(lap_var / 500.0, 1.0)
+    particle_score = jnp.sqrt(flow_score * freq_score)
+    has_particles = particle_score > cfg.particle_threshold
+
+    # HUD: temporal variance over last 5 ring frames (adaptive_pipeline.py:193-235)
+    recent = history[:, -5:]
+    var = jnp.var(recent, axis=1)
+    hud_small = (var < cfg.hud_var_threshold).astype(jnp.float32)
+    enough = (history_count >= 5)[:, None, None]
+    hud_small = jnp.where(enough, hud_small, 0.0)
+    hud_small = morph_open(morph_close(hud_small, 5), 5)
+    hud_mask_small = hud_small > 0.5
+    hud_coverage = jnp.mean(hud_mask_small.astype(jnp.float32), axis=(1, 2))
+
+    return {
+        "ssim": ssim_score,
+        "is_scene_change": is_scene,
+        "motion_mean": motion_mean,
+        "motion_max": motion_max,
+        "motion_std": motion_std,
+        "particle_score": particle_score,
+        "has_particles": has_particles,
+        "hud_mask_small": hud_mask_small,  # [N,180-ish,320-ish] at HUD res
+        "hud_coverage": hud_coverage,
+        "route_vfimamba": (has_particles | (motion_max > cfg.motion_threshold_high))
+        & ~is_scene,
+    }
+
+
+def push_history(history, count, frame):
+    """Append the 320x180 gray of `frame` to the HUD ring (shift-left)."""
+    g = rgb_to_gray(frame * 255.0)
+    small = resize(g[..., None], _HUD_RES, "linear")[..., 0]
+    return (
+        jnp.concatenate([history[:, 1:], small[:, None]], axis=1),
+        jnp.minimum(count + 1, history.shape[1]),
+    )
+
+
+def init_history(n: int):
+    return (
+        jnp.zeros((n, 10, *_HUD_RES), jnp.float32),
+        jnp.zeros((n,), jnp.int32),
+    )
+
+
+def make_flagship_step(module, params, cfg: FlagshipConfig = FlagshipConfig()):
+    """Build the fused step: (x0, x1, hist, hcnt) -> (up_u8, mids, hist, hcnt, sig).
+
+    x0/x1: [P,H,W,3] float32 in [0,1] (P frame pairs at 30 fps).
+    up_u8: [(1+T)*P, OH, OW, 3] uint8 — the 120 fps output frames (x0 +
+    T midpoints each, upscaled). mids: [T*P,H,W,3] composited midpoints.
+    """
+    ts_tuple = cfg.timestamps
+    t_count = len(ts_tuple)
+    oh, ow = cfg.out_hw
+
+    def step(x0, x1, hist, hcnt):
+        p, h, w, _ = x0.shape
+        hist, hcnt = push_history(hist, hcnt, x0)
+        sig = analyze_small(x0, x1, hist, hcnt, cfg)
+
+        x0p, _ = pad_to_multiple(x0, 32)
+        x1p, _ = pad_to_multiple(x1, 32)
+        x0r = jnp.repeat(x0p, t_count, axis=0)  # [P*T, ...]
+        x1r = jnp.repeat(x1p, t_count, axis=0)
+        ts = jnp.tile(jnp.asarray(ts_tuple, x0.dtype), (p,))
+        merged, _, _ = module.apply({"params": params}, x0r, x1r, ts)
+        mids = unpad(merged, h, w)  # [P*T,H,W,3]
+
+        # branchless scene-cut repeat (adaptive_pipeline.py:388)
+        scene = jnp.repeat(sig["is_scene_change"], t_count, axis=0)
+        x0_rep = jnp.repeat(x0, t_count, axis=0)
+        mids = jnp.where(scene[:, None, None, None], x0_rep, mids)
+
+        # branchless HUD compositing (adaptive_pipeline.py:399-409):
+        # source = x0 for t<0.5 else x1, where coverage > threshold
+        hud_full = (
+            resize(
+                sig["hud_mask_small"][..., None].astype(jnp.float32), (h, w), "nearest"
+            )[..., 0]
+            > 0.5
+        )
+        apply_hud = sig["hud_coverage"] > cfg.hud_coverage_threshold
+        hud_rep = jnp.repeat(hud_full & apply_hud[:, None, None], t_count, axis=0)
+        t_rep = jnp.tile(jnp.asarray(ts_tuple), (p,))
+        src = jnp.where(
+            (t_rep < 0.5)[:, None, None, None],
+            x0_rep,
+            jnp.repeat(x1, t_count, axis=0),
+        )
+        mids = jnp.where(hud_rep[..., None], src, mids)
+
+        frames = jnp.concatenate([x0, mids], axis=0)  # [(1+T)*P,H,W,3]
+        up = to_uint8(resize(frames, (oh, ow), cfg.sr_filter, precision="default"))
+        return up, mids, hist, hcnt, sig
+
+    return step

@@ -87,8 +87,11 @@ def device_synthetic_batch(key, batch: int = 32, crop: int = 192) -> dict:
     # static HUD: bright box with dark inner stripes at a random position,
     # identical in all three frames (broadcast over the 3n render batch)
     hud_on = (jax.random.uniform(ks[10], (n, 1, 1)) < 0.5).astype(jnp.float32)
+    # box is 20x56 px; keep the placement interval valid for small crops
+    # (c < 68 would invert minval/maxval) and the box inside the frame
+    hud_max = max(5.0, c - 64.0)
     hx = jax.random.uniform(ks[11], (n, 2, 1, 1), minval=4.0,
-                            maxval=c - 64.0)
+                            maxval=hud_max)
     in_box = (
         (yy >= hx[:, 0]) & (yy < hx[:, 0] + 20)
         & (xx >= hx[:, 1]) & (xx < hx[:, 1] + 56)
