@@ -1,9 +1,25 @@
-"""Headline benchmark: 1080p→1440p interpolated frames/sec on one chip.
+"""Headline benchmark: full AdaptiveVFI 1080p→1440p interpolated fps, one chip.
 
-Measures the flagship 30→120fps pipeline step on real hardware: one input
-frame pair → 3 RIFE-interpolated midpoints + endpoint, all upscaled to
-1440p — the "rife_default" configuration of the reference
-(scripts/run_experiments.py:365-386 + Lanczos SR), end-to-end on device.
+Measures the BASELINE.md north-star path end-to-end as ONE jitted device
+program per frame pair (vfisr_tpu/pipeline/flagship.py): router analysis
+(scene-cut SSIM + Farneback motion + particle + HUD temporal-variance ring,
+at the reference's streaming-adaptive 480x270 resolution,
+run_experiments.py:848-874), RIFE interpolation at 3 timesteps, branchless
+scene-cut/HUD compositing (adaptive_pipeline.py:388,399-409), and Lanczos
+SR of all output frames to 1440p.
+
+Deployment config (each dial quantified on held-out scenes, docs/PARITY.md):
+- bf16 activations + bf16 Pallas warp windows (~56 dB noise floor);
+- reduced warp residual radii l=(2,2)/f=(3,4): −0.64 dB vs quality radii;
+- shared-flow timesteps (rife.shared_flow_apply): one IFNet trunk pass at
+  t=0.5, other timesteps from linearly rescaled flows + t-shifted fusion
+  mask — measured BETTER than per-t trunk passes (34.10 vs 33.66 dB
+  held-out midpoint PSNR) at ~30% less compute.
+
+Pairs the router routes to VFIMamba re-run through the heavy expert in the
+hosted pipeline (models/novel/adaptive_pipeline.py per-pair bucketing); the
+reference's measured mix is 97% RIFE (COMPREHENSIVE_REPORT.md:58), so the
+RIFE-expert path is the throughput that matters.
 
 Timing methodology: this environment tunnels the TPU behind an async PJRT
 proxy where ``block_until_ready`` returns immediately and a synchronous
@@ -35,23 +51,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from vfisr_tpu.core.frames import pad_to_multiple, to_uint8, unpad
-    from vfisr_tpu.core.resize import resize
     from vfisr_tpu.models.sota.rife import IFNet, RIFEConfig
+    from vfisr_tpu.pipeline.flagship import (
+        FlagshipConfig,
+        init_history,
+        make_flagship_step,
+    )
 
     H, W = 1080, 1920
-    OUT_H, OUT_W = 1440, 2560
-    TS = (0.25, 0.5, 0.75)
-    PAIRS = 1  # frame pairs per device step (offline throughput, like the
-    # reference's 147-pair sweep; VPU/MXU utilization improves with batch)
-
-    # deployment config: bf16 activations (the TPU analog of the
-    # reference's fp16 TensorRT engines, README.md:335-348), bf16 Pallas
-    # warp windows (≈56 dB noise floor), f32 params, reduced warp residual
-    # radii l=(2,2)/f=(3,4) — measured −0.64 dB midpoint PSNR vs the
-    # quality config's l=(2,4)/f=(4,6) (32.4 vs 33.0 dB on held-out scenes,
-    # scripts/profile_radius.py) for ~3.7 ms/step; the same speed/quality
-    # dial the reference's TensorRT deployment turns.
+    PAIRS = 1  # PAIRS>=2 measured memory-bound slower per pair
     cfg = RIFEConfig(
         dtype=jnp.bfloat16,
         level_warp_radius=(2, 2),
@@ -64,33 +72,25 @@ def main():
         jnp.zeros((1, 64, 64, 3)),
         jnp.asarray([0.5]),
     )["params"]
-
-    def pipeline_step(x0, x1):
-        """PAIRS 30fps input pairs -> 4·PAIRS 1440p uint8 frames."""
-        x0p, _ = pad_to_multiple(x0, 32)
-        x1p, _ = pad_to_multiple(x1, 32)
-        t = len(TS)
-        x0r = jnp.repeat(x0p, t, axis=0)  # [PAIRS*t, ...]
-        x1r = jnp.repeat(x1p, t, axis=0)
-        ts = jnp.tile(jnp.asarray(TS, x0.dtype), (PAIRS,))
-        merged, _, _ = module.apply({"params": params}, x0r, x1r, ts)
-        mids = unpad(merged, H, W)
-        frames = jnp.concatenate([x0, mids], axis=0)  # [4*PAIRS, H, W, 3]
-        up = to_uint8(resize(frames, (OUT_H, OUT_W), "lanczos4", precision="default"))
-        return up, mids
+    fcfg = FlagshipConfig(shared_flow=True)
+    step = make_flagship_step(module, params, fcfg)
+    t_count = len(fcfg.timestamps)
 
     def chained(k):
         @jax.jit
         def run(x0, x1):
-            def body(_, carry):
-                x0c, x1c, acc = carry
-                up, mids = pipeline_step(x0c, x1c)
-                # data dependence: next batch continues from midpoints
-                nxt = mids[2 :: len(TS)][:PAIRS]
-                return (nxt, x1c, acc + jnp.sum(up[0, ::409, ::409, 0].astype(jnp.float32)))
+            hist, hcnt = init_history(PAIRS)
 
-            _, _, acc = jax.lax.fori_loop(
-                0, k, body, (x0, x1, jnp.zeros((), jnp.float32))
+            def body(_, carry):
+                a, b, hist, hcnt, acc = carry
+                up, mids, hist, hcnt, _sig = step(a, b, hist, hcnt)
+                # data dependence: next batch continues from t=0.5 midpoints
+                nxt = mids[1::t_count][:PAIRS]
+                acc = acc + jnp.sum(up[0, ::409, ::409, 0].astype(jnp.float32))
+                return (nxt, b, hist, hcnt, acc)
+
+            _, _, _, _, acc = jax.lax.fori_loop(
+                0, k, body, (x0, x1, hist, hcnt, jnp.zeros((), jnp.float32))
             )
             return acc
 
@@ -103,8 +103,7 @@ def main():
     k1, k2 = 2, 10
     run_k1 = chained(k1)
     run_k2 = chained(k2)
-    # warmup / compile
-    np.asarray(run_k1(f0, f1))
+    np.asarray(run_k1(f0, f1))  # warmup / compile
     np.asarray(run_k2(f0, f1))
 
     def best_time(fn, reps=3):
@@ -118,12 +117,12 @@ def main():
     t1 = best_time(run_k1)
     t2 = best_time(run_k2)
     per_step = (t2 - t1) / (k2 - k1)
-    interp_fps = len(TS) * PAIRS / per_step if per_step > 0 else float("inf")
+    interp_fps = t_count * PAIRS / per_step if per_step > 0 else float("inf")
 
     print(
         json.dumps(
             {
-                "metric": "interpolated_fps_1080p_to_1440p_rife3x_single_chip",
+                "metric": "adaptive_vfi_interpolated_fps_1080p_to_1440p_single_chip",
                 "value": round(interp_fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(interp_fps / BASELINE_INTERP_FPS, 2),

@@ -23,6 +23,24 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 METHODS = ["control", "degraded", "lanczos", "rife_lanczos", "adaptive_vfi"]
+DURATION = 10.0  # seconds per study clip (reference benchmark_proper.py)
+
+
+# Reuse surface for the GUIs' fast interval switching (reference
+# benchmark_proper.py:138-175; imported by gui/video_blind_study.py's
+# /api/new-interval): cut a segment out of a pre-generated full video,
+# carrying source audio when ffmpeg is present.
+def extract_clip(full_video, raw_video, start_time, duration, output) -> bool:
+    from vfisr_tpu.data.video_io import extract_clip as _extract
+
+    return _extract(str(full_video), str(raw_video) if raw_video else None,
+                    float(start_time), float(duration), str(output))
+
+
+def get_full_video_duration(video_path) -> float:
+    from vfisr_tpu.data.video_io import get_video_duration
+
+    return get_video_duration(str(video_path))
 
 
 def run_method(method: str, keyframes, out_path: str, out_w: int, out_h: int, fps: float):
@@ -98,6 +116,10 @@ def main():
     parser.add_argument("--resolution", default="2560x1440")
     parser.add_argument("--fps", type=float, default=120.0)
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument(
+        "--source-video", default=None,
+        help="raw source video; when set and ffmpeg exists, its audio track "
+        "is muxed into each method video (reference benchmark_proper.py:394-409)")
     args = parser.parse_args()
 
     from vfisr_tpu.data.extract_intervals import load_interval
@@ -122,6 +144,19 @@ def main():
         out_path = out_dir / f"{method}.mp4"
         stats = run_method(method, keyframes, str(out_path), out_w, out_h, args.fps)
         stats["time_s"] = round(time.time() - t0, 1)
+        if args.source_video:
+            from vfisr_tpu.data.video_io import extract_audio, mux_audio
+
+            aac = str(out_path) + ".audio.aac"
+            muxed = str(out_dir / f"{method}_audio.mp4")
+            if (extract_audio(args.source_video, aac)
+                    and mux_audio(str(out_path), aac, muxed)):
+                Path(aac).unlink(missing_ok=True)
+                Path(muxed).replace(out_path)
+                stats["audio"] = True
+            else:  # graceful skip: no ffmpeg or silent source
+                Path(aac).unlink(missing_ok=True)
+                stats["audio"] = False
         clip_entry["videos"][method] = str(out_path)
         clip_entry["metrics"][method] = stats
         meta_path.write_text(json.dumps(metadata, indent=2))

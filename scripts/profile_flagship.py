@@ -43,11 +43,10 @@ def main():
         jnp.zeros((1, 64, 64, 3)),
         jnp.asarray([0.5]),
     )["params"]
-    fcfg = FlagshipConfig()
-    step = make_flagship_step(module, params, fcfg)
-    t_count = len(fcfg.timestamps)
-
-    def make_case(pairs):
+    def make_case(pairs, shared):
+        fcfg = FlagshipConfig(shared_flow=shared)
+        step = make_flagship_step(module, params, fcfg)
+        t_count = len(fcfg.timestamps)
         def chained(k):
             @jax.jit
             def run(x0, x1):
@@ -86,13 +85,14 @@ def main():
         per_step = (best(r2) - best(r1)) / (k2 - k1)
         return per_step, t_count * pairs / per_step
 
-    for pairs in (1, 2, 4):
+    for pairs, shared in ((1, True), (2, True), (1, False)):
         try:
-            per_step, fps = make_case(pairs)
+            per_step, fps = make_case(pairs, shared)
             print(
                 json.dumps(
                     {
                         "pairs": pairs,
+                        "shared_flow": shared,
                         "step_ms": round(per_step * 1000, 2),
                         "interp_fps": round(fps, 2),
                     }

@@ -198,3 +198,109 @@ class VideoWriter:
 
     def __exit__(self, *a):
         self.close()
+
+
+# =============================================================================
+# Segment extraction + audio passthrough
+# =============================================================================
+
+
+def get_video_duration(path: str) -> float:
+    """Duration in seconds (reference benchmark_proper.py:167-175)."""
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        return 0.0
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    frames = cap.get(cv2.CAP_PROP_FRAME_COUNT)
+    cap.release()
+    return frames / fps if fps > 0 else 0.0
+
+
+def extract_audio(src: str, out_path: str, start: float = 0.0,
+                  duration: Optional[float] = None) -> bool:
+    """Extract the audio track of ``src`` to ``out_path`` (AAC copy).
+
+    Reference run_experiments.py:770-781 / benchmark_proper.py:150-155.
+    ffmpeg-only; returns False (graceful skip) when ffmpeg is absent or the
+    source has no audio.
+    """
+    if not FFMPEG:
+        return False
+    cmd = [FFMPEG, "-y", "-ss", str(start), "-i", str(src)]
+    if duration is not None:
+        cmd += ["-t", str(duration)]
+    cmd += ["-vn", "-acodec", "copy", str(out_path)]
+    r = subprocess.run(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    return r.returncode == 0 and os.path.exists(out_path) and os.path.getsize(out_path) > 0
+
+
+def mux_audio(video_path: str, audio_path: str, output_path: str) -> bool:
+    """Mux ``audio_path`` into ``video_path`` -> ``output_path`` (copy video,
+    AAC audio, -shortest — reference benchmark_proper.py:394-409). Returns
+    False (graceful skip, video left as-is) when ffmpeg is absent."""
+    if not FFMPEG or not os.path.exists(audio_path):
+        return False
+    cmd = [
+        FFMPEG, "-y", "-i", str(video_path), "-i", str(audio_path),
+        "-c:v", "copy", "-c:a", "aac", "-shortest", str(output_path),
+    ]
+    r = subprocess.run(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    return r.returncode == 0 and os.path.exists(output_path)
+
+
+def extract_clip(full_video: str, raw_video: Optional[str], start_time: float,
+                 duration: float, output: str) -> bool:
+    """Cut [start_time, start_time+duration) out of a pre-generated video,
+    carrying audio from ``raw_video`` when possible (the fast new-interval
+    path, reference benchmark_proper.py:138-165).
+
+    ffmpeg: stream-copy cut + audio mux (fast, no re-encode). Without
+    ffmpeg: cv2 re-encode of the segment (no audio — cv2 has no audio API).
+    """
+    output = str(output)
+    os.makedirs(os.path.dirname(os.path.abspath(output)) or ".", exist_ok=True)
+    if FFMPEG:
+        tmp_v = output + ".video.mp4"
+        r = subprocess.run(
+            [FFMPEG, "-y", "-ss", str(start_time), "-i", str(full_video),
+             "-t", str(duration), "-c", "copy", tmp_v],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        if r.returncode != 0 or not os.path.exists(tmp_v):
+            return False
+        tmp_a = output + ".audio.aac"
+        if raw_video and extract_audio(raw_video, tmp_a, start_time, duration):
+            ok = mux_audio(tmp_v, tmp_a, output)
+            for t in (tmp_v, tmp_a):
+                if os.path.exists(t):
+                    os.remove(t)
+            if ok:
+                return True
+            # mux failed: fall through to video-only
+        if os.path.exists(output):
+            os.remove(output)
+        os.replace(tmp_v, output)
+        return True
+    # cv2 fallback: decode + re-encode the segment
+    cap = cv2.VideoCapture(str(full_video))
+    if not cap.isOpened():
+        return False
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    cap.set(cv2.CAP_PROP_POS_FRAMES, int(round(start_time * fps)))
+    writer = cv2.VideoWriter(output, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not writer.isOpened():
+        cap.release()
+        return False
+    need = int(round(duration * fps))
+    got = 0
+    while got < need:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        writer.write(frame)
+        got += 1
+    cap.release()
+    writer.release()
+    return got > 0 and os.path.exists(output)

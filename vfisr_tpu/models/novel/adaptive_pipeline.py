@@ -397,19 +397,39 @@ class AdaptivePipeline(BaseModel):
                 masks["scene"], masks["vfimamba"],
                 sig["hud_mask"], sig["hud_coverage"], tuple(timestamps),
             )
-        # hosted: one scalar readback chooses the expert for the whole batch
-        use_mamba = bool(np.asarray(masks["vfimamba"]).any()) and self.enable_vfimamba
-        expert = self._vfimamba if use_mamba else self._rife
-        out = expert.interpolate_batch(x0, x1, timestamps)
-        for i in range(x0.shape[0]):
-            if bool(np.asarray(masks["scene"])[i]):
+        # hosted: per-pair bucketing — one mask readback, then each expert
+        # runs on its own sub-batch, so a batch's cost is the mix-weighted
+        # expert cost (reference routes per pair, adaptive_pipeline.py:
+        # 265-286; scene-cut pairs skip interpolation entirely, :388).
+        n = x0.shape[0]
+        scene_np = np.asarray(masks["scene"])
+        mamba_np = (np.asarray(masks["vfimamba"])
+                    if self.enable_vfimamba
+                    else np.zeros(n, bool))
+        rife_np = ~scene_np & ~mamba_np
+        idx_r = np.nonzero(rife_np)[0]
+        idx_m = np.nonzero(mamba_np & ~scene_np)[0]
+        t = len(timestamps)
+        h, w = x0.shape[1:3]
+        out = jnp.zeros((n, t, h, w, 3), x0.dtype)
+        if idx_r.size:
+            out = out.at[idx_r].set(
+                self._rife.interpolate_batch(x0[idx_r], x1[idx_r], timestamps)
+            )
+        if idx_m.size:
+            out = out.at[idx_m].set(
+                self._vfimamba.interpolate_batch(x0[idx_m], x1[idx_m], timestamps)
+            )
+        for i in range(n):
+            if scene_np[i]:
                 self.stats.add("scene_change")
+            elif mamba_np[i]:
+                self.stats.add("vfimamba")
             else:
-                self.stats.add("vfimamba" if use_mamba else "rife")
-        zeros = jnp.zeros_like(out)
+                self.stats.add("rife")
         return _composite_outputs(
             out, out, x0, x1,
-            masks["scene"], masks["vfimamba"],
+            masks["scene"], jnp.zeros((n,), bool),
             sig["hud_mask"], sig["hud_coverage"], tuple(timestamps),
         )
 

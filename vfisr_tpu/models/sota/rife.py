@@ -280,6 +280,67 @@ class IFNet(nn.Module):
         )
 
 
+def shared_flow_apply(module: IFNet, params, x0: jnp.ndarray, x1: jnp.ndarray,
+                      timestamps: Tuple[float, ...]) -> jnp.ndarray:
+    """Deployment fast path: one trunk pass, all timesteps from its flow.
+
+    The exact path runs the full IFNet once per timestep (t is an input
+    channel at every pyramid level). This runs the trunk ONCE at the
+    anchor timestep (the one closest to 0.5), then derives the remaining
+    timesteps by linearly rescaling the bidirectional flow —
+    F_t'→0 = F_a→0·(t'/a), F_t'→1 = F_a→1·((1−t')/(1−a)) — and paying only
+    the final fusion warp per timestep. Same linear-motion assumption the
+    reference's own flow methods make (run_experiments.py:479-533).
+
+    The anchor's fusion mask is t-shifted for the derived timesteps:
+    m_t = clip(σ(mask) + (a − t), 0, 1), the ideal linear-blend prior at
+    off-anchor t. Measured on held-out scenes (deploy config, trained
+    rife.npz): exact-per-t 33.66 dB, shared 32.17, shared+shift **34.10**
+    — the shared path is both ~30% faster and slightly better than
+    running the trunk per timestep (docs/PARITY.md).
+
+    x0/x1: [P,H,W,3] (padded); returns [P*T,H,W,3] pair-major (pair i's
+    timestep j at index i*T+j), matching ``RIFEModel.interpolate_batch``.
+    """
+    cfg = module.config
+    p, h, w, _ = x0.shape
+    ts = tuple(float(t) for t in timestamps)
+    anchor_idx = min(range(len(ts)), key=lambda i: abs(ts[i] - 0.5))
+    a = ts[anchor_idx]
+    merged_a, flow, mask = module.apply(
+        {"params": params}, x0, x1, jnp.full((p,), a, x0.dtype)
+    )
+    others = [t for i, t in enumerate(ts) if i != anchor_idx]
+    if not others:
+        return merged_a
+    m = nn.sigmoid(mask.astype(cfg.dtype))
+
+    # one fused warp call for every (timestep, side): batch 2*len(others)*P
+    imgs, flows = [], []
+    for t in others:
+        imgs.append(x0.astype(cfg.dtype))
+        flows.append(flow[..., 0:2] * (t / a))
+        imgs.append(x1.astype(cfg.dtype))
+        flows.append(flow[..., 2:4] * ((1.0 - t) / (1.0 - a)))
+    warped = backward_warp(
+        jnp.concatenate(imgs, axis=0),
+        jnp.concatenate(flows, axis=0).astype(cfg.dtype),
+        1.0,
+        border="replicate",
+        radius=cfg.final_warp_radius,
+        compute_dtype=cfg.warp_dtype,
+    )
+    outs = {a: merged_a}
+    for k, t in enumerate(others):
+        w0 = warped[2 * k * p:(2 * k + 1) * p]
+        w1 = warped[(2 * k + 1) * p:(2 * k + 2) * p]
+        m_t = jnp.clip(m + jnp.asarray(a - t, m.dtype), 0.0, 1.0)
+        outs[t] = jnp.clip(w0 * m_t + w1 * (1.0 - m_t), 0.0, 1.0).astype(x0.dtype)
+    # pair-major interleave: [P*T]
+    stacked = jnp.stack([outs[t] for t in ts], axis=1)  # [P,T,H,W,3]
+    return stacked.reshape(p * len(ts), h, w, 3)
+
+
 # =============================================================================
 # BaseModel wrapper
 # =============================================================================

@@ -58,6 +58,10 @@ class FlagshipConfig:
     hud_coverage_threshold: float = 0.01
     motion_threshold_high: float = 25.0  # route-to-VFIMamba signal
     sr_filter: str = "lanczos4"
+    # One IFNet trunk pass at t=0.5, other timesteps from linearly rescaled
+    # flows + fusion warps only (rife.shared_flow_apply). The deployment
+    # speed dial; quality cost quantified in docs/PARITY.md.
+    shared_flow: bool = True
 
 
 def analyze_small(f0, f1, history, history_count, cfg: FlagshipConfig):
@@ -150,10 +154,15 @@ def make_flagship_step(module, params, cfg: FlagshipConfig = FlagshipConfig()):
 
         x0p, _ = pad_to_multiple(x0, 32)
         x1p, _ = pad_to_multiple(x1, 32)
-        x0r = jnp.repeat(x0p, t_count, axis=0)  # [P*T, ...]
-        x1r = jnp.repeat(x1p, t_count, axis=0)
-        ts = jnp.tile(jnp.asarray(ts_tuple, x0.dtype), (p,))
-        merged, _, _ = module.apply({"params": params}, x0r, x1r, ts)
+        if cfg.shared_flow:
+            from vfisr_tpu.models.sota.rife import shared_flow_apply
+
+            merged = shared_flow_apply(module, params, x0p, x1p, ts_tuple)
+        else:
+            x0r = jnp.repeat(x0p, t_count, axis=0)  # [P*T, ...]
+            x1r = jnp.repeat(x1p, t_count, axis=0)
+            ts = jnp.tile(jnp.asarray(ts_tuple, x0.dtype), (p,))
+            merged, _, _ = module.apply({"params": params}, x0r, x1r, ts)
         mids = unpad(merged, h, w)  # [P*T,H,W,3]
 
         # branchless scene-cut repeat (adaptive_pipeline.py:388)
