@@ -31,7 +31,15 @@ def main():
     parser.add_argument("--no-lpips", action="store_true", help="Skip LPIPS sampling")
     parser.add_argument("--data-dir", default="data")
     parser.add_argument("--output-dir", default="outputs")
+    parser.add_argument("--platform", default="auto", choices=["cpu", "auto"],
+                        help="force JAX to CPU (useful when the chip is "
+                        "busy or for small smoke runs; 'auto' keeps the "
+                        "environment default)")
     args = parser.parse_args()
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from vfisr_tpu.harness.experiments import (
         CORE_HEAVY,

@@ -1,0 +1,111 @@
+"""Device-batched experiment path (harness/device_sweep.py): metric parity
+with the per-frame host loop (harness/experiments.py::run_experiment) on
+small synthetic intervals — same semantics, chunked device dispatches."""
+
+import numpy as np
+import pytest
+
+from vfisr_tpu.harness.device_sweep import (
+    DEVICE_METHODS,
+    DeviceInterval,
+    run_experiment_batched,
+)
+from vfisr_tpu.harness.experiments import run_experiment
+
+
+def _interval(n_kf=7, h=144, w=256, seed=0):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    base = (cv2.resize(rng.random((h // 8, w // 8, 3)).astype(np.float32),
+                       (w, h), interpolation=cv2.INTER_CUBIC) * 255)
+    kfs, mids = [], []
+    for i in range(n_kf):
+        f = np.roll(base, 3 * i, axis=1)
+        kfs.append(np.clip(f, 0, 255).astype(np.uint8))
+        if i < n_kf - 1:
+            m = np.roll(base, 3 * i + 1, axis=1)  # between-frame content
+            mids.append(np.clip(m, 0, 255).astype(np.uint8))
+    return kfs, mids
+
+
+EXP = {
+    "linear_blend": {"name": "lanczos_blend", "vfi": "linear_blend",
+                     "sr": "lanczos", "edge": 0,
+                     "quality_resolution": (192, 108), "quality_fps": 60},
+    "frame_dup": {"name": "degraded", "vfi": "frame_dup", "sr": "bicubic",
+                  "edge": 0, "quality_resolution": (192, 108),
+                  "quality_fps": 60},
+    "control": {"name": "control", "vfi": "none", "sr": "lanczos", "edge": 0,
+                "quality_resolution": (192, 108), "quality_fps": 60},
+    "edge": {"name": "lanczos_blend_edge", "vfi": "linear_blend",
+             "sr": "lanczos", "edge": 1.3,
+             "quality_resolution": (192, 108), "quality_fps": 60},
+    "optical_flow": {"name": "optical_flow_basic", "vfi": "optical_flow",
+                     "sr": "lanczos", "edge": 0,
+                     "quality_resolution": (192, 108), "quality_fps": 60},
+}
+
+
+@pytest.fixture(autouse=True)
+def _small_degrade(monkeypatch):
+    """cv2's INTER_AREA upscale is a special non-linear path; production
+    degrades 1080p DOWN to 960x540. Keep the test in the downscale regime
+    with small shapes by shrinking the degrade target in both modules."""
+    import vfisr_tpu.harness.device_sweep as ds
+    import vfisr_tpu.harness.experiments as ex
+
+    for mod in (ds, ex):
+        monkeypatch.setattr(mod, "INPUT_W", 128)
+        monkeypatch.setattr(mod, "INPUT_H", 72)
+
+
+class TestParityWithHostLoop:
+    @pytest.mark.parametrize("case", ["linear_blend", "frame_dup", "control",
+                                      "edge"])
+    def test_metrics_match_host_loop(self, case):
+        kfs, mids = _interval()
+        exp = EXP[case]
+        host = run_experiment(kfs, mids, exp, verbose=False)
+        dev = run_experiment_batched(DeviceInterval(kfs, mids), exp,
+                                     chunk_pairs=4)
+        assert dev["device_batched"] is True
+        assert dev["frames"] == host["frames"]
+        assert dev["keyframes_evaluated"] == host["keyframes_evaluated"]
+        assert dev["vfi_frames_evaluated"] == host["vfi_frames_evaluated"]
+        for key in ("keyframe_psnr_db", "vfi_psnr_db", "overall_psnr_db"):
+            if host[key] in (0, "inf"):
+                assert dev[key] == host[key]
+            else:
+                assert dev[key] == pytest.approx(host[key], abs=0.35), key
+        for key in ("keyframe_ssim", "vfi_ssim"):
+            assert dev[key] == pytest.approx(host[key], abs=0.01), key
+
+    def test_optical_flow_close_to_host(self):
+        kfs, mids = _interval()
+        exp = EXP["optical_flow"]
+        host = run_experiment(kfs, mids, exp, verbose=False)
+        dev = run_experiment_batched(DeviceInterval(kfs, mids), exp,
+                                     chunk_pairs=4)
+        # same flow, same warp math — small numeric drift allowed
+        assert dev["vfi_psnr_db"] == pytest.approx(host["vfi_psnr_db"], abs=1.0)
+
+    def test_video_output_and_schema(self, tmp_path):
+        kfs, mids = _interval()
+        out = tmp_path / "v.mp4"
+        dev = run_experiment_batched(
+            DeviceInterval(kfs, mids), EXP["linear_blend"],
+            output_path=str(out), chunk_pairs=4)
+        assert out.exists() and out.stat().st_size > 0
+        for k in ("name", "frames", "time_s", "realtime_x", "rife_frames_pct",
+                  "lpips_mode", "vfi_lpips", "overall_ssim"):
+            assert k in dev
+
+    def test_unsupported_method_raises(self):
+        kfs, mids = _interval(n_kf=3)
+        with pytest.raises(ValueError):
+            run_experiment_batched(
+                DeviceInterval(kfs, mids),
+                {"name": "x", "vfi": "ughi",
+                 "quality_resolution": (64, 64), "quality_fps": 60})
+        assert "ughi" not in DEVICE_METHODS

@@ -1,0 +1,360 @@
+"""Device-batched experiment path: chunked jitted programs per K frame pairs.
+
+The reference's hot loop is strictly per-frame host OpenCV + one model call
+per frame (run_experiments.py:811-1009). The TPU-first formulation keeps
+the whole interval resident in HBM as uint8 and runs degrade → SR → edge →
+VFI → metrics for K pairs per dispatch inside one jitted program; the host
+reads back only metric scalars (and frames when a video is written —
+through this environment's ~44 MB/s tunnel that readback, not compute,
+bounds video-producing runs).
+
+Identical metric semantics to harness.experiments.run_experiment:
+keyframe PSNR/SSIM on the PRE-edge-enhance SR frame vs the reference frame
+(run_experiments.py:983-995), VFI PSNR/SSIM on the t=0.5 frame vs the GT
+midpoint (:736-758), LPIPS every 10th evaluated VFI frame (:735),
+overall = 0.25·KF + 0.75·VFI (:1021-1038).
+
+Supported vfi methods: none/control, frame_dup, linear_blend, rife,
+adaptive, optical_flow. UAFI/UGHI/MCAR keep the host path (their mask
+pipelines are already jitted per-call in methods/inline.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfisr_tpu.core.color import rgb_to_gray
+from vfisr_tpu.core.resize import resize
+from vfisr_tpu.evaluation.metrics import safe_round
+from vfisr_tpu.methods.inline import _edge_enhance_core
+from vfisr_tpu.ops.flow import farneback_flow
+from vfisr_tpu.ops.ssim import ssim_global
+
+DEVICE_METHODS = {"none", "frame_dup", "linear_blend", "rife", "adaptive",
+                  "optical_flow"}
+
+INPUT_W, INPUT_H = 960, 540  # reference degradation target
+
+
+class DeviceInterval:
+    """Interval frames resident on device, uploaded once per sweep.
+
+    keyframes/midpoints/ref_frames: lists of HWC uint8 RGB (host). The
+    uint8 stacks live in HBM; every experiment in the sweep slices them
+    on device instead of re-uploading per frame (the reference re-reads
+    PNGs and re-uploads tensors per frame, run_experiments.py:811-830).
+    """
+
+    def __init__(self, keyframes: List[np.ndarray],
+                 midpoints: Optional[List[np.ndarray]],
+                 ref_frames: Optional[List[np.ndarray]] = None):
+        self.kf = jnp.asarray(np.stack(keyframes))
+        self.mid = jnp.asarray(np.stack(midpoints)) if midpoints else None
+        self.ref = (jnp.asarray(np.stack(ref_frames))
+                    if ref_frames is not None else self.kf)
+        self.n_kf = self.kf.shape[0]
+
+
+def _psnr_per_frame(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[N,...]x2 -> [N] PSNR (inf-safe; calc_psnr formula)."""
+    mse = jnp.mean(
+        (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2,
+        axis=tuple(range(1, a.ndim)),
+    )
+    return jnp.where(
+        mse == 0, jnp.inf, 10.0 * jnp.log10(255.0**2 / jnp.maximum(mse, 1e-12))
+    )
+
+
+_ssim_batch = jax.vmap(ssim_global)
+
+
+def _qu8(x: jnp.ndarray) -> jnp.ndarray:
+    """Snap float 0..255 to the uint8 grid (round-half-away, stay float).
+
+    The host loop materializes uint8 after every cv2 step; metrics must see
+    the same quantization or high-PSNR comparisons drift."""
+    return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vfi", "interp", "edge", "out_hw", "is_control",
+                     "motion_thresh", "want_frames"),
+)
+def _chunk_program(
+    src: jnp.ndarray,   # [K+1, H, W, 3] uint8 source keyframes
+    ref: jnp.ndarray,   # [K+1, H, W, 3] uint8 reference frames
+    gt: jnp.ndarray,    # [K, Hg, Wg, 3] uint8 GT midpoints
+    rife_mids: jnp.ndarray,  # [K, 3, oh, ow, 3] float SR-res RIFE mids (or zeros)
+    *,
+    vfi: str,
+    interp: str,
+    edge: float,
+    out_hw: tuple,
+    is_control: bool,
+    motion_thresh: float,
+    want_frames: bool,
+):
+    oh, ow = out_hw
+    k = src.shape[0] - 1
+    srcf = src.astype(jnp.float32)
+
+    if is_control:
+        out = _qu8(resize(srcf, out_hw, "lanczos4"))
+        out_m = out
+    else:
+        degraded = _qu8(resize(srcf, (INPUT_H, INPUT_W), "area"))
+        out_m = _qu8(resize(degraded, out_hw, interp))  # pre-edge, for metrics
+        out = _qu8(_edge_enhance_core(out_m, edge)) if edge > 0 else out_m
+
+    # ---- keyframe metrics vs reference (per keyframe) ----
+    ref_r = _qu8(resize(ref.astype(jnp.float32), out_hw, "lanczos4"))
+    kf_psnr = _psnr_per_frame(out_m, ref_r)
+    kf_ssim = _ssim_batch(rgb_to_gray(out_m), rgb_to_gray(ref_r))
+
+    prev = out[:-1]   # [K, oh, ow, 3]
+    curr = out[1:]
+
+    # ---- VFI mids [K, 3, oh, ow, 3] ----
+    ts = jnp.asarray([0.25, 0.5, 0.75], jnp.float32)[None, :, None, None, None]
+    rife_used = jnp.zeros((k,), bool)
+    if vfi in ("none", "frame_dup"):
+        mids = jnp.broadcast_to(prev[:, None], (k, 3, oh, ow, 3))
+    elif vfi == "linear_blend":
+        mids = prev[:, None] * (1 - ts) + curr[:, None] * ts
+    elif vfi == "optical_flow":
+        from vfisr_tpu.core.warp import backward_warp
+
+        g0 = rgb_to_gray(resize(prev, (oh // 2, ow // 2), "linear"))
+        g1 = rgb_to_gray(resize(curr, (oh // 2, ow // 2), "linear"))
+        fl = farneback_flow(g0, g1)
+        fl = resize(fl, out_hw, "linear") * 2.0
+        t_fac = jnp.repeat(jnp.asarray([0.25, 0.5, 0.75]), k)[:, None, None, None]
+        warped = backward_warp(
+            jnp.tile(prev, (3, 1, 1, 1)),
+            jnp.tile(fl, (3, 1, 1, 1)) * t_fac,
+            1.0,
+            border="replicate",
+        )  # [3K, oh, ow, 3], timestep-major
+        warped = warped.reshape(3, k, oh, ow, 3).transpose(1, 0, 2, 3, 4)
+        mids = warped * (1 - ts) + curr[:, None] * ts
+    elif vfi == "rife":
+        mids = rife_mids
+        rife_used = jnp.ones((k,), bool)
+    elif vfi == "adaptive":
+        # motion at 480x270 with the fast Farneback params
+        # (run_experiments.py:848-874, methods.inline.calc_motion)
+        ga = rgb_to_gray(resize(prev, (270, 480), "linear"))
+        gb = rgb_to_gray(resize(curr, (270, 480), "linear"))
+        fl = farneback_flow(ga, gb, 0.5, 1, 15, 1, 5, 1.1)
+        motion = jnp.mean(
+            jnp.sqrt(fl[..., 0] ** 2 + fl[..., 1] ** 2), axis=(1, 2)
+        )
+        rife_used = motion > motion_thresh
+        blend = prev[:, None] * (1 - ts) + curr[:, None] * ts
+        mids = jnp.where(rife_used[:, None, None, None, None], rife_mids, blend)
+    else:
+        raise ValueError(f"unsupported device vfi method {vfi}")
+    mids = _qu8(mids)
+
+    # ---- VFI metrics: t=0.5 vs GT midpoint ----
+    mid_half = mids[:, 1]
+    gt_r = _qu8(resize(gt.astype(jnp.float32), out_hw, "lanczos4"))
+    vfi_psnr = _psnr_per_frame(mid_half, gt_r)
+    vfi_ssim = _ssim_batch(rgb_to_gray(mid_half), rgb_to_gray(gt_r))
+
+    metrics = {
+        "kf_psnr": kf_psnr, "kf_ssim": kf_ssim,
+        "vfi_psnr": vfi_psnr, "vfi_ssim": vfi_ssim,
+        "rife_used": rife_used,
+        "mid_half_u8": jnp.clip(mid_half + 0.5, 0, 255).astype(jnp.uint8),
+    }
+    if want_frames:
+        # written order per pair: mid1 mid2 mid3 kf_{i+1}
+        seq = jnp.concatenate([mids, curr[:, None]], axis=1)
+        metrics["frames_u8"] = jnp.clip(seq + 0.5, 0, 255).astype(jnp.uint8)
+        metrics["first_kf_u8"] = jnp.clip(out[0] + 0.5, 0, 255).astype(jnp.uint8)
+    return metrics
+
+
+def _rife_chunk(prev_u8: jnp.ndarray, curr_u8: jnp.ndarray) -> jnp.ndarray:
+    """[K,oh,ow,3] uint8 x2 -> [K,3,oh,ow,3] float 0..255 RIFE midpoints."""
+    from vfisr_tpu.harness.experiments import _RIFESingleton
+
+    m = _RIFESingleton.get()
+    out = m.interpolate_batch(
+        prev_u8.astype(jnp.float32) / 255.0,
+        curr_u8.astype(jnp.float32) / 255.0,
+        (0.25, 0.5, 0.75),
+    )  # [K, 3, oh, ow, 3] in [0,1]
+    return out * 255.0
+
+
+def run_experiment_batched(
+    interval: DeviceInterval,
+    experiment: dict,
+    output_path: Optional[str] = None,
+    out_fps: Optional[float] = None,
+    lpips_fn=None,
+    lpips_mode: Optional[str] = None,
+    chunk_pairs: int = 8,
+    verbose: bool = True,
+) -> dict:
+    """Batched-device equivalent of harness.experiments.run_experiment.
+
+    Same result schema; per-chunk device dispatches instead of per-frame
+    host work. Emits `device_batched: True` in the result.
+    """
+    from vfisr_tpu.harness.experiments import QUALITY_LEVELS, DEFAULT_QUALITY
+    from vfisr_tpu.data.video_io import VideoWriter
+
+    name = experiment["name"]
+    vfi = experiment.get("vfi", "linear_blend")
+    sr_method = experiment.get("sr", "lanczos")
+    edge = float(experiment.get("edge", 0))
+    motion_thresh = float(experiment.get("motion_thresh", 3.0))
+    exp_fps = experiment.get("quality_fps", QUALITY_LEVELS[DEFAULT_QUALITY]["fps"])
+    out_w, out_h = experiment.get(
+        "quality_resolution", QUALITY_LEVELS[DEFAULT_QUALITY]["resolution"]
+    )
+    is_control = name == "control" or name.startswith("control_")
+    interp = "cubic" if sr_method == "bicubic" else "lanczos4"
+    if vfi not in DEVICE_METHODS:
+        raise ValueError(f"{vfi} has no device-batched path")
+    needs_rife = vfi in ("rife", "adaptive")
+
+    writer = (VideoWriter(output_path, out_w, out_h, out_fps or exp_fps)
+              if output_path else None)
+
+    n_pairs = interval.n_kf - 1
+    kf_psnr_all, kf_ssim_all = [], []
+    vfi_psnr_all, vfi_ssim_all, rife_used_all = [], [], []
+    lpips_vals = []
+    cnt = 0
+    t0 = time.time()
+
+    for start in range(0, n_pairs, chunk_pairs):
+        k_real = min(chunk_pairs, n_pairs - start)
+        # pad the tail chunk to the compiled K (masked out host-side)
+        idx = np.minimum(np.arange(start, start + chunk_pairs + 1),
+                         interval.n_kf - 1)
+        src = interval.kf[idx]
+        ref = interval.ref[np.minimum(idx, interval.ref.shape[0] - 1)]
+        mididx = np.minimum(np.arange(start, start + chunk_pairs),
+                            (interval.mid.shape[0] - 1)
+                            if interval.mid is not None else 0)
+        gt = (interval.mid[mididx] if interval.mid is not None
+              else interval.kf[mididx])
+
+        rife_mids = jnp.zeros((chunk_pairs, 3, out_h, out_w, 3), jnp.float32)
+        if needs_rife:
+            # SR first (reference interpolates the upscaled frames)
+            srcf = src.astype(jnp.float32)
+            if is_control:
+                up = resize(srcf, (out_h, out_w), "lanczos4")
+            else:
+                degraded = resize(srcf, (INPUT_H, INPUT_W), "area")
+                up = resize(degraded, (out_h, out_w), interp)
+                if edge > 0:
+                    up = _edge_enhance_core(up, edge)
+            rife_mids = _rife_chunk(up[:-1], up[1:])
+
+        res = _chunk_program(
+            src, ref, gt, rife_mids,
+            vfi=vfi, interp=interp, edge=edge, out_hw=(out_h, out_w),
+            is_control=is_control, motion_thresh=motion_thresh,
+            want_frames=writer is not None,
+        )
+        first_chunk = start == 0
+        kf_lo = 0 if first_chunk else 1
+        kf_psnr_all.extend(np.asarray(res["kf_psnr"])[kf_lo:k_real + 1])
+        kf_ssim_all.extend(np.asarray(res["kf_ssim"])[kf_lo:k_real + 1])
+        if interval.mid is not None and vfi != "none" and not is_control:
+            # host loop stops evaluating once midpoints run out
+            # (run_experiments.py:736-758)
+            k_eval = max(0, min(k_real, interval.mid.shape[0] - start))
+            vfi_psnr_all.extend(np.asarray(res["vfi_psnr"])[:k_eval])
+            vfi_ssim_all.extend(np.asarray(res["vfi_ssim"])[:k_eval])
+            rife_used_all.extend(np.asarray(res["rife_used"])[:k_eval])
+            if lpips_fn is not None:
+                # every 10th evaluated VFI frame (run_experiments.py:735)
+                base = start
+                for j in range(k_eval):
+                    if (base + j + 1) % 10 == 0:
+                        pred = np.asarray(res["mid_half_u8"][j])
+                        gt_j = np.asarray(gt[j])
+                        if gt_j.shape[:2] != pred.shape[:2]:
+                            # host loop resizes GT to the VFI frame first
+                            # (run_experiments.py:744-748)
+                            gt_j = np.asarray(_qu8(resize(
+                                jnp.asarray(gt_j, jnp.float32),
+                                pred.shape[:2], "lanczos4"))).astype(np.uint8)
+                        lpips_vals.append(lpips_fn(pred, gt_j))
+        if writer is not None:
+            if first_chunk:
+                writer.write(np.asarray(res["first_kf_u8"]))
+                cnt += 1
+            frames = np.asarray(res["frames_u8"][:k_real])
+            for pair in frames:
+                for f in pair:
+                    writer.write(f)
+                cnt += 4
+        else:
+            cnt += k_real * 4 + (1 if first_chunk else 0)
+
+    if writer is not None:
+        writer.close()
+    elapsed = time.time() - t0
+
+    def _avg(v):
+        # host sums calc_psnr directly, so identical frames make the mean
+        # inf (reported as "inf" via safe_round) — keep that semantics
+        return float(np.mean(v)) if len(v) else 0.0
+
+    avg_kf_psnr = _avg(kf_psnr_all)
+    avg_kf_ssim = float(np.mean(kf_ssim_all)) if kf_ssim_all else 0.0
+    avg_vfi_psnr = _avg(vfi_psnr_all)
+    avg_vfi_ssim = float(np.mean(vfi_ssim_all)) if vfi_ssim_all else 0.0
+    avg_lpips = float(np.mean(lpips_vals)) if lpips_vals else None
+    have_vfi = bool(vfi_psnr_all)
+    if have_vfi:
+        overall_psnr = 0.25 * avg_kf_psnr + 0.75 * avg_vfi_psnr
+        overall_ssim = 0.25 * avg_kf_ssim + 0.75 * avg_vfi_ssim
+    else:
+        overall_psnr, overall_ssim = avg_kf_psnr, avg_kf_ssim
+    rife_pct = (100.0 * float(np.mean(rife_used_all))
+                if rife_used_all and vfi == "adaptive"
+                else (100.0 if vfi == "rife" else 0.0))
+
+    return {
+        "name": name,
+        "config": experiment,
+        "frames": cnt,
+        "time_s": round(elapsed, 2),
+        "fps_achieved": round(cnt / elapsed, 1) if elapsed > 0 else 0,
+        "keyframe_psnr_db": safe_round(avg_kf_psnr, 2),
+        "keyframe_ssim": round(avg_kf_ssim, 4),
+        "vfi_psnr_db": safe_round(avg_vfi_psnr, 2),
+        "vfi_ssim": round(avg_vfi_ssim, 4),
+        "vfi_lpips": round(avg_lpips, 4) if avg_lpips is not None else None,
+        "lpips_mode": lpips_mode if avg_lpips is not None else None,
+        "overall_psnr_db": safe_round(overall_psnr, 2),
+        "overall_ssim": round(overall_ssim, 4),
+        "psnr_db": safe_round(overall_psnr, 2),
+        "ssim": round(overall_ssim, 4),
+        "keyframes_evaluated": len(kf_psnr_all),
+        "vfi_frames_evaluated": len(vfi_psnr_all),
+        "lpips_frames_sampled": len(lpips_vals),
+        "rife_frames_pct": round(rife_pct, 1),
+        "realtime_x": round((cnt / exp_fps) / elapsed, 2) if elapsed > 0 else 0,
+        "used_rife": vfi in ("rife", "adaptive"),
+        "output_video": str(output_path) if output_path else None,
+        "device_batched": True,
+    }

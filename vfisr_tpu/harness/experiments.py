@@ -510,8 +510,14 @@ def run_experiment_sweep(
     write_videos: bool = False,
     max_frames: Optional[int] = None,
     use_lpips: bool = True,
+    device_batched: bool = True,
 ) -> dict:
-    """Sweep experiments × intervals with checkpoint/resume + SIGINT."""
+    """Sweep experiments × intervals with checkpoint/resume + SIGINT.
+
+    device_batched: run supported methods through the chunked on-device
+    path (harness.device_sweep — the interval stays HBM-resident and each
+    dispatch covers K pairs); UAFI/UGHI/MCAR and any device failure fall
+    back to the per-frame host loop."""
     from vfisr_tpu.data.extract_intervals import load_interval
 
     out_dir = Path(output_dir)
@@ -540,6 +546,11 @@ def run_experiment_sweep(
             keyframes, midpoints, meta = load_interval(
                 clip_id, interval_idx, data_dir, max_frames=max_frames
             )
+            device_interval = None
+            if device_batched:
+                from vfisr_tpu.harness.device_sweep import DeviceInterval
+
+                device_interval = DeviceInterval(keyframes, midpoints)
             for experiment in experiments:
                 if shutdown.requested:
                     break
@@ -554,11 +565,26 @@ def run_experiment_sweep(
                     else None
                 )
                 try:
-                    result = run_experiment(
-                        keyframes, midpoints, experiment,
-                        output_path=video_path, lpips_fn=lpips_fn,
-                        lpips_mode=lpips_mode,
-                    )
+                    result = None
+                    if device_interval is not None:
+                        from vfisr_tpu.harness.device_sweep import (
+                            DEVICE_METHODS, run_experiment_batched)
+
+                        if experiment.get("vfi", "linear_blend") in DEVICE_METHODS:
+                            try:
+                                result = run_experiment_batched(
+                                    device_interval, experiment,
+                                    output_path=video_path, lpips_fn=lpips_fn,
+                                    lpips_mode=lpips_mode,
+                                )
+                            except Exception as de:  # noqa: BLE001
+                                print(f"  [device path failed, host fallback] {de}")
+                    if result is None:
+                        result = run_experiment(
+                            keyframes, midpoints, experiment,
+                            output_path=video_path, lpips_fn=lpips_fn,
+                            lpips_mode=lpips_mode,
+                        )
                     result["interval_idx"] = interval_idx
                     result["clip_id"] = clip_id
                     result["interval_difficulty"] = meta.get("difficulty")
