@@ -164,6 +164,49 @@ def generate_figures(df: pd.DataFrame, out_dir: str | Path) -> List[str]:
     fig.savefig(p, dpi=120)
     plt.close(fig)
     written.append(str(p))
+
+    # 4) PSNR-vs-SSIM correlation (reference data_analysis.py psnr_ssim_
+    # correlation figure): do the two quality axes agree, and where not?
+    sub = agg[np.isfinite(agg["vfi_psnr"]) & np.isfinite(agg["vfi_ssim"])]
+    if len(sub) >= 2:
+        fig, ax = plt.subplots(figsize=(7, 6))
+        ax.scatter(sub["vfi_psnr"], sub["vfi_ssim"], c="#4cc9f0", s=40)
+        for _, r in sub.iterrows():
+            ax.annotate(r["name"], (r["vfi_psnr"], r["vfi_ssim"]), fontsize=7)
+        corr = float(np.corrcoef(sub["vfi_psnr"], sub["vfi_ssim"])[0, 1])
+        ax.set_xlabel("VFI PSNR (dB)")
+        ax.set_ylabel("VFI SSIM")
+        ax.set_title(f"PSNR vs SSIM (r = {corr:.3f})")
+        fig.tight_layout()
+        p = out_dir / "psnr_ssim_correlation.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(str(p))
+
+    # 5) Innovative-methods comparison (reference data_analysis.py
+    # innovative_comparison): the novel methods vs their baselines
+    inno = agg[agg["name"].map(categorize_method).isin(
+        ["UAFI", "MCAR", "UGHI", "Adaptive"])]
+    base = agg[agg["name"].map(categorize_method).isin(
+        ["RIFE", "LinearBlend", "Degraded"])]
+    if len(inno) and len(base):
+        both = pd.concat([inno.assign(group="innovative"),
+                          base.assign(group="baseline")])
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 5))
+        colors = {"innovative": "#f72585", "baseline": "#4cc9f0"}
+        for ax, col, label in ((ax1, "vfi_psnr", "VFI PSNR (dB)"),
+                               (ax2, "time_s", "time (s)")):
+            sub2 = both[np.isfinite(both[col])]
+            ax.barh(sub2["name"], sub2[col],
+                    color=[colors[g] for g in sub2["group"]])
+            ax.set_xlabel(label)
+        ax2.set_xscale("log")
+        fig.suptitle("Innovative methods vs baselines")
+        fig.tight_layout()
+        p = out_dir / "innovative_comparison.png"
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(str(p))
     return written
 
 

@@ -205,6 +205,7 @@ def run_experiment_batched(
     lpips_fn=None,
     lpips_mode: Optional[str] = None,
     chunk_pairs: int = 8,
+    rife_chunk_pairs: int = 2,
     verbose: bool = True,
 ) -> dict:
     """Batched-device equivalent of harness.experiments.run_experiment.
@@ -229,6 +230,10 @@ def run_experiment_batched(
     if vfi not in DEVICE_METHODS:
         raise ValueError(f"{vfi} has no device-batched path")
     needs_rife = vfi in ("rife", "adaptive")
+    if needs_rife:
+        # a chunk is 3*(K+1) IFNet frames at output res — keep the compiled
+        # program inside the remote compiler's size envelope (CLAUDE.md)
+        chunk_pairs = min(chunk_pairs, rife_chunk_pairs)
 
     writer = (VideoWriter(output_path, out_w, out_h, out_fps or exp_fps)
               if output_path else None)

@@ -59,6 +59,7 @@ def _aggregate(values: List[float]) -> dict:
         "max": float(np.max(values)),
         "p50": float(np.percentile(values, 50)),
         "p95": float(np.percentile(values, 95)),
+        "p99": float(np.percentile(values, 99)),
     }
 
 
