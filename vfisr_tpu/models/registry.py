@@ -74,6 +74,12 @@ def _adaptive(**kw):
     return AdaptivePipeline(**kw)
 
 
+def _flagship(**kw):
+    from vfisr_tpu.pipeline.flagship import FlagshipVFI
+
+    return FlagshipVFI(**kw)
+
+
 def _rife_span(**kw):
     from vfisr_tpu.models.sota.span import create_rife_span
 
@@ -103,6 +109,9 @@ MODEL_REGISTRY: Dict[str, Callable[..., BaseModel]] = {
     "vfimamba_span": _vfimamba_span,
     # novel
     "adaptive": _adaptive,
+    # fused single-program deployment path (pipeline/flagship.py, the
+    # bench.py 167 fps configuration)
+    "flagship": _flagship,
 }
 
 

@@ -193,3 +193,177 @@ def make_flagship_step(module, params, cfg: FlagshipConfig = FlagshipConfig()):
         return up, mids, hist, hcnt, sig
 
     return step
+
+
+class FlagshipVFI:
+    """The fused deployment pipeline as a registry model ("flagship").
+
+    BaseModel-compatible wrapper over ``make_flagship_step``: RIFE deploy
+    config (bf16, reduced warp radii, shared-flow timesteps) + router
+    analysis + scene/HUD compositing + SR — one device program per pair
+    batch, the bench.py 167 fps path. HUD history is carried across calls
+    (streaming state, reference adaptive_pipeline.py:104-106).
+    """
+
+    def __init__(self, device: str = "tpu", config: FlagshipConfig = None):
+        from vfisr_tpu.models.base import BaseModel  # noqa: F401 (contract)
+
+        self.device = device
+        self.base_config = config or FlagshipConfig()
+        self._loaded = False
+        self._rife = None
+        self._steps = {}  # (in_hw, out_hw) -> jitted step
+        self._hist = None
+        self._hist_n = None
+
+    @property
+    def info(self):
+        from vfisr_tpu.models.base import ModelInfo
+
+        return ModelInfo(
+            name="FlagshipAdaptiveVFI",
+            type="novel",
+            supports_vfi=True,
+            supports_sr=True,
+            supports_joint=True,
+            parameters=self._rife.param_count() if self._rife else None,
+            requires_gpu=True,
+            description=("Fused AdaptiveVFI deployment path: analysis + "
+                         "RIFE shared-flow + scene/HUD composite + SR in "
+                         "one jitted program"),
+        )
+
+    def load(self, weights_path=None) -> None:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from vfisr_tpu.models.sota.rife import RIFEConfig, RIFEModel
+
+        deploy = RIFEConfig(
+            dtype=jnp.bfloat16,
+            level_warp_radius=(2, 2),
+            final_warp_radius=(3, 4),
+        )
+        self._rife = RIFEModel(device=self.device, config=deploy)
+        self._rife.load(weights_path)
+        self._module = __import__(
+            "vfisr_tpu.models.sota.rife", fromlist=["IFNet"]
+        ).IFNet(deploy)
+        self._loaded = True
+
+    def ensure_loaded(self):
+        if not self._loaded:
+            self.load()
+
+    def _step_for(self, in_hw, out_hw):
+        import dataclasses
+
+        import jax
+
+        key = (in_hw, out_hw)
+        if key not in self._steps:
+            cfg = dataclasses.replace(self.base_config, out_hw=out_hw)
+            self._steps[key] = jax.jit(
+                make_flagship_step(self._module, self._rife.params, cfg)
+            )
+        return self._steps[key]
+
+    def _history_for(self, n):
+        if self._hist is None or self._hist_n != n:
+            self._hist = init_history(n)
+            self._hist_n = n
+        return self._hist
+
+    def reset_history(self):
+        self._hist = None
+
+    # ---- BaseModel surface ----
+    def process_pair(self, frame0, frame1, num_intermediate: int = 3,
+                     target_scale: float = 1.333):
+        """Endpoints + intermediates at target scale, one fused program
+        (+ one extra SR for the trailing endpoint)."""
+        import time as _time
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vfisr_tpu.core.frames import from_batched, to_batched
+        from vfisr_tpu.core.resize import resize as _resize, scale_size
+        from vfisr_tpu.models.base import InferenceResult, device_peak_mb
+
+        self.ensure_loaded()
+        if num_intermediate != len(self.base_config.timestamps):
+            # fused step is compiled for the deployment timestep set
+            import dataclasses
+
+            ts = tuple((i + 1) / (num_intermediate + 1)
+                       for i in range(num_intermediate))
+            self.base_config = dataclasses.replace(
+                self.base_config, timestamps=ts)
+            self._steps.clear()
+        t0 = _time.perf_counter()
+        x0 = to_batched(frame0)
+        x1 = to_batched(frame1)
+        h, w = x0.shape[1:3]
+        out_hw = scale_size(h, w, target_scale)
+        step = self._step_for((h, w), out_hw)
+        hist, hcnt = self._history_for(1)
+        up, mids, hist, hcnt, sig = step(x0, x1, hist, hcnt)
+        self._hist = (hist, hcnt)
+        up_np = np.asarray(up)
+        last = np.asarray(
+            jnp.clip(jnp.floor(_resize(x1, out_hw, "lanczos4") * 255.0 + 0.5),
+                     0, 255).astype(jnp.uint8))[0]
+        frames = [up_np[0]] + [up_np[1 + i] for i in range(len(self.base_config.timestamps))] + [last]
+        return InferenceResult(
+            frames=frames,
+            inference_time_ms=(_time.perf_counter() - t0) * 1000,
+            vram_peak_mb=device_peak_mb(),
+            model_used=self.info.name,
+            extra_info={
+                "is_scene_change": bool(np.asarray(sig["is_scene_change"])[0]),
+                "motion_mean": float(np.asarray(sig["motion_mean"])[0]),
+                "hud_coverage": float(np.asarray(sig["hud_coverage"])[0]),
+                "route_vfimamba": bool(np.asarray(sig["route_vfimamba"])[0]),
+            },
+        )
+
+    def interpolate_batch(self, x0, x1, timestamps):
+        import jax.numpy as jnp
+
+        from vfisr_tpu.core.frames import pad_to_multiple, unpad
+        from vfisr_tpu.models.sota.rife import shared_flow_apply
+
+        self.ensure_loaded()
+        n, h, w, _ = x0.shape
+        x0p, _ = pad_to_multiple(x0, 32)
+        x1p, _ = pad_to_multiple(x1, 32)
+        merged = shared_flow_apply(self._module, self._rife.params, x0p, x1p,
+                                   tuple(timestamps))
+        return unpad(merged, h, w).reshape(n, len(timestamps), h, w, 3)
+
+    def interpolate(self, frame0, frame1, num_frames=3, timestamps=None):
+        import numpy as np
+
+        from vfisr_tpu.core.frames import from_batched, to_batched
+
+        self.ensure_loaded()
+        if timestamps is None:
+            timestamps = [(i + 1) / (num_frames + 1) for i in range(num_frames)]
+        out = self.interpolate_batch(to_batched(frame0), to_batched(frame1),
+                                     tuple(timestamps))
+        return [from_batched(out[:, i]) for i in range(out.shape[1])]
+
+    def upscale_batch(self, x, scale: float = 1.333):
+        from vfisr_tpu.core.resize import resize as _resize, scale_size
+
+        h, w = x.shape[-3:-1]
+        return _resize(x, scale_size(h, w, scale), "lanczos4")
+
+    def upscale(self, frame, scale: float = 1.333):
+        import numpy as np
+
+        from vfisr_tpu.core.frames import from_batched, to_batched
+
+        return from_batched(self.upscale_batch(to_batched(frame), scale))
