@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Generate docs/BASELINE_COMPARISON.md: reference numbers vs this repo.
+
+Reads outputs/experiment_results.json (our measured sweep) and the latest
+BENCH_r*.json, and tabulates them against the reference's Phase-1 numbers
+(BASELINE.md, sourced from its outputs/COMPREHENSIVE_REPORT.md). Content
+differs (the reference measured captured Arc Raiders footage; we measure
+the synthetic gaming clip — no real footage ships in either snapshot), so
+the comparable quantities are per-method ORDERINGS and deltas vs the
+degraded baseline, not absolute PSNR.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Reference Phase-1 measured rows (BASELINE.md / COMPREHENSIVE_REPORT.md:58-74)
+REFERENCE = {
+    "adaptive_aggressive": {"vfi_psnr": 25.82, "vfi_ssim": 0.9382, "time_s": 71.6},
+    "rife_default": {"vfi_psnr": 25.80, "vfi_ssim": 0.9382, "time_s": 70.1},
+    "ughi_default": {"vfi_psnr": 24.02, "time_s": 424.8},
+    "lanczos_blend": {"vfi_psnr": 24.01, "time_s": 29.7},
+    "bicubic_blend": {"vfi_psnr": 24.00, "time_s": 23.4},
+    "adaptive_default": {"vfi_psnr": 23.92, "time_s": 26.4},
+    "mcar_default": {"vfi_psnr": 23.79, "time_s": 65.8},
+    "uafi_default": {"vfi_psnr": 22.71, "time_s": 269.5},
+    "optical_flow_basic": {"vfi_psnr": 22.28},
+    "degraded": {"vfi_psnr": 22.28, "vfi_ssim": 0.8718},
+}
+REF_BASELINE = "degraded"
+REF_INTERP_FPS = 6.29  # 441 frames / 70.1 s (rife_default)
+
+
+def load_ours(results_path: str):
+    data = json.loads(Path(results_path).read_text())
+    by_name = {}
+    for e in data.get("experiments", []):
+        name = e["name"]
+        agg = by_name.setdefault(name, {"vfi_psnr": [], "vfi_ssim": [],
+                                        "time_s": []})
+        for src, dst in (("vfi_psnr_db", "vfi_psnr"), ("vfi_ssim", "vfi_ssim"),
+                         ("time_s", "time_s")):
+            v = e.get(src)
+            if isinstance(v, (int, float)):
+                agg[dst if dst != "vfi_psnr" else "vfi_psnr"].append(v)
+    return {
+        n: {k: (sum(v) / len(v) if v else None) for k, v in a.items()}
+        for n, a in by_name.items()
+    }
+
+
+def main():
+    results_path = sys.argv[1] if len(sys.argv) > 1 else "outputs/experiment_results.json"
+    out_path = Path(sys.argv[2] if len(sys.argv) > 2 else "docs/BASELINE_COMPARISON.md")
+    ours = load_ours(results_path)
+
+    bench_files = sorted(glob.glob("BENCH_r*.json"))
+    bench = json.loads(Path(bench_files[-1]).read_text()) if bench_files else None
+
+    lines = [
+        "# Reference baseline vs this framework",
+        "",
+        "Reference: RTX 3090, captured Arc Raiders 1080p59 content "
+        "(BASELINE.md / reference outputs/COMPREHENSIVE_REPORT.md:58-74). "
+        "Ours: one TPU v5e chip, the synthetic gaming clip "
+        "(`scripts/make_synthetic_clip.py`) — neither snapshot ships real "
+        "footage, so compare per-method ORDERING and Δ vs the degraded "
+        "baseline, not absolute dB (different content).",
+        "",
+        "## Per-method VFI quality (t=0.5 midpoints vs GT)",
+        "",
+        "| method | ref VFI PSNR | ref Δ vs degraded | ours VFI PSNR | "
+        "ours Δ vs degraded | ours time s |",
+        "|---|---|---|---|---|---|",
+    ]
+    ref_base = REFERENCE[REF_BASELINE]["vfi_psnr"]
+    our_base = (ours.get(REF_BASELINE, {}) or {}).get("vfi_psnr")
+    for name, ref in REFERENCE.items():
+        o = ours.get(name, {})
+        ov = o.get("vfi_psnr")
+        lines.append(
+            "| {} | {:.2f} | {:+.2f} | {} | {} | {} |".format(
+                name,
+                ref["vfi_psnr"],
+                ref["vfi_psnr"] - ref_base,
+                f"{ov:.2f}" if ov is not None else "—",
+                f"{ov - our_base:+.2f}" if (ov is not None and our_base) else "—",
+                f"{o.get('time_s'):.1f}" if o.get("time_s") else "—",
+            )
+        )
+    # ordering agreement (Spearman-ish: count of concordant ref-vs-ours pairs)
+    common = [n for n in REFERENCE if ours.get(n, {}).get("vfi_psnr") is not None]
+    conc = tot = 0
+    for i, a in enumerate(common):
+        for b in common[i + 1:]:
+            r = REFERENCE[a]["vfi_psnr"] - REFERENCE[b]["vfi_psnr"]
+            u = ours[a]["vfi_psnr"] - ours[b]["vfi_psnr"]
+            if abs(r) < 0.05:
+                continue
+            tot += 1
+            conc += (r > 0) == (u > 0)
+    if tot:
+        lines += ["",
+                  f"Ordering agreement on {tot} method pairs with a "
+                  f"reference gap ≥0.05 dB: **{conc}/{tot} concordant**."]
+
+    lines += ["", "## Throughput", ""]
+    if bench:
+        lines += [
+            f"- Reference rife_default: **{REF_INTERP_FPS:.2f} interpolated "
+            "fps** (441 frames / 70.1 s, RTX 3090).",
+            f"- Ours ({bench['metric']}): **{bench['value']} {bench['unit']}"
+            f"** — {bench['vs_baseline']}× the reference, vs the ≥120 fps "
+            "north-star (BASELINE.md).",
+        ]
+    out_path.parent.mkdir(exist_ok=True)
+    out_path.write_text("\n".join(lines) + "\n")
+    print(f"Wrote {out_path} ({len(common)} comparable methods)")
+
+
+if __name__ == "__main__":
+    main()
