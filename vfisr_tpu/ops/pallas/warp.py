@@ -219,6 +219,27 @@ def warp_windowed(
     th, tw = tile
     ry_r, rx_r = (r, r) if isinstance(r, int) else r
     is_bf16 = compute_dtype == jnp.bfloat16
+
+    # VMEM guard: the window scratch is [C, hw_win, ww_win]; many-channel
+    # feature maps (e.g. SAFA's 176-ch encoder warps) would blow the ~16 MB
+    # VMEM (176·64·512·4B ≈ 23 MB — the round-1 SAFA train-step compile
+    # stall). Chunk channels so the scratch stays ≤ ~4 MB; coordinates and
+    # weights are recomputed per chunk (VPU-cheap vs the window math).
+    _row_al = 16 if is_bf16 else 8
+    _nsh_y = 2 * ry_r + 2 + (1 if is_bf16 else 0)
+    _hw = 1 << (th + _nsh_y + _row_al - 1 - 1).bit_length()
+    _ww = 1 << (tw + 128 + 2 * rx_r + 2 - 1).bit_length()
+    _bytes = 2 if is_bf16 else 4
+    c_max = max(1, (4 << 20) // (_hw * _ww * _bytes))
+    if c > c_max:
+        parts = [
+            warp_windowed(
+                img[..., i:i + c_max], flow, t, r, tile, border, interpret,
+                compute_dtype, weight_mode, _timing_skip_roll,
+            )
+            for i in range(0, c, c_max)
+        ]
+        return jnp.concatenate(parts, axis=-1)
     # bf16's native sublane tile is 16 — row origins align accordingly, the
     # roll removes only the even part of the slack and the odd remainder
     # folds into ry as one extra vertical tap.
