@@ -106,6 +106,35 @@ class TestParityWithHostLoop:
         with pytest.raises(ValueError):
             run_experiment_batched(
                 DeviceInterval(kfs, mids),
-                {"name": "x", "vfi": "ughi",
+                {"name": "x", "vfi": "no_such_method",
                  "quality_resolution": (64, 64), "quality_fps": 60})
-        assert "ughi" not in DEVICE_METHODS
+        assert "no_such_method" not in DEVICE_METHODS
+        assert "ughi" in DEVICE_METHODS  # innovative methods are on-device
+
+
+class TestInnovativeMethodsDevicePath:
+    """UAFI/UGHI/MCAR batched device branches vs the per-frame host loop.
+
+    The device path computes flow once per pair and uses the windowed warp
+    (vs the host's per-t gather warp), so tolerances are looser than the
+    blend methods' — same algorithm, different warp kernel + f32 path.
+    """
+
+    @pytest.mark.parametrize("vfi,name", [("ui_aware", "uafi_default"),
+                                          ("ughi", "ughi_default"),
+                                          ("mcar", "mcar_default")])
+    def test_close_to_host_loop(self, vfi, name):
+        kfs, mids = _interval()
+        exp = {"name": name, "vfi": vfi, "sr": "lanczos", "edge": 1.3,
+               "mcar_low": 0.25, "mcar_high": 0.6,
+               "quality_resolution": (192, 108), "quality_fps": 60}
+        host = run_experiment(kfs, mids, exp, verbose=False)
+        dev = run_experiment_batched(DeviceInterval(kfs, mids), exp,
+                                     chunk_pairs=4)
+        assert dev["device_batched"] is True
+        assert dev["vfi_frames_evaluated"] == host["vfi_frames_evaluated"]
+        assert dev["vfi_psnr_db"] == pytest.approx(host["vfi_psnr_db"], abs=1.5)
+        assert dev["vfi_ssim"] == pytest.approx(host["vfi_ssim"], abs=0.02)
+        if vfi == "mcar":
+            assert dev["rife_frames_pct"] == pytest.approx(
+                host["rife_frames_pct"], abs=1e-6)

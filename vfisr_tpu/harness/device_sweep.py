@@ -14,9 +14,11 @@ keyframe PSNR/SSIM on the PRE-edge-enhance SR frame vs the reference frame
 midpoint (:736-758), LPIPS every 10th evaluated VFI frame (:735),
 overall = 0.25·KF + 0.75·VFI (:1021-1038).
 
-Supported vfi methods: none/control, frame_dup, linear_blend, rife,
-adaptive, optical_flow. UAFI/UGHI/MCAR keep the host path (their mask
-pipelines are already jitted per-call in methods/inline.py).
+Supported vfi methods: all of them — none/control, frame_dup,
+linear_blend, rife, adaptive, optical_flow, ui_aware (UAFI), ughi, mcar.
+The flow-heavy innovative methods compute Farneback ONCE per pair (the
+host path recomputes identical flow per timestep) and warp through the
+windowed Pallas kernel instead of the serial TPU gather.
 """
 
 from __future__ import annotations
@@ -37,7 +39,9 @@ from vfisr_tpu.ops.flow import farneback_flow
 from vfisr_tpu.ops.ssim import ssim_global
 
 DEVICE_METHODS = {"none", "frame_dup", "linear_blend", "rife", "adaptive",
-                  "optical_flow"}
+                  "optical_flow", "ui_aware", "ughi", "mcar"}
+# these run full-res Farneback per pair — keep chunks small
+_HEAVY_FLOW_METHODS = {"ui_aware", "ughi", "mcar"}
 
 INPUT_W, INPUT_H = 960, 540  # reference degradation target
 
@@ -86,7 +90,8 @@ def _qu8(x: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("vfi", "interp", "edge", "out_hw", "is_control",
-                     "motion_thresh", "want_frames"),
+                     "motion_thresh", "mcar_low", "mcar_high",
+                     "want_frames"),
 )
 def _chunk_program(
     src: jnp.ndarray,   # [K+1, H, W, 3] uint8 source keyframes
@@ -100,6 +105,8 @@ def _chunk_program(
     out_hw: tuple,
     is_control: bool,
     motion_thresh: float,
+    mcar_low: float,
+    mcar_high: float,
     want_frames: bool,
 ):
     oh, ow = out_hw
@@ -145,6 +152,97 @@ def _chunk_program(
         )  # [3K, oh, ow, 3], timestep-major
         warped = warped.reshape(3, k, oh, ow, 3).transpose(1, 0, 2, 3, 4)
         mids = warped * (1 - ts) + curr[:, None] * ts
+    elif vfi == "ui_aware":
+        # UAFI (methods/inline.py::_uafi_core; run_experiments.py:393-446).
+        # Flow is computed ONCE per pair and reused for all timesteps (the
+        # per-t host call recomputes identical flow 3x); warps go through
+        # the windowed Pallas kernel instead of the serial TPU gather.
+        from vfisr_tpu.core.warp import backward_warp
+        from vfisr_tpu.ops.morphology import morph_close, morph_open
+
+        g0 = rgb_to_gray(prev)
+        g1 = rgb_to_gray(curr)
+        flow = farneback_flow(g0, g1, 0.5, 3, 15, 3, 5, 1.2)
+        t_all = jnp.asarray([0.5, 0.25, 0.5, 0.75])  # mask warp + 3 mids
+        warped_all = backward_warp(
+            jnp.tile(prev, (4, 1, 1, 1)),
+            jnp.tile(flow, (4, 1, 1, 1))
+            * jnp.repeat(t_all, k)[:, None, None, None],
+            1.0, border="constant", radius=(4, 6),
+        ).reshape(4, k, oh, ow, 3)
+        recon_err = jnp.mean(jnp.abs(warped_all[0] - curr), axis=-1)
+        mag = jnp.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+        ui = (recon_err > 30) & (mag < 2)
+        ui = morph_open(morph_close(ui.astype(jnp.uint8), 5), 5) > 0
+        blended = (warped_all[1:].transpose(1, 0, 2, 3, 4) * (1 - ts)
+                   + curr[:, None] * ts)
+        ui_src = jnp.stack([prev, prev, curr], axis=1)  # t<0.5 -> x0 else x1
+        mids = jnp.where(ui[:, None, :, :, None], ui_src, blended)
+    elif vfi == "ughi":
+        # UGHI (methods/inline.py::_ughi_core; run_experiments.py:536-593):
+        # bidirectional flow once per pair; fwd/bwd consistency ->
+        # per-pixel uncertainty lerps warped blend toward plain blend.
+        from vfisr_tpu.core.warp import backward_warp
+
+        g0 = rgb_to_gray(prev)
+        g1 = rgb_to_gray(curr)
+        flow_fwd = farneback_flow(g0, g1, 0.5, 3, 15, 3, 5, 1.2)
+        flow_bwd = farneback_flow(g1, g0, 0.5, 3, 15, 3, 5, 1.2)
+        bwd_warped = backward_warp(flow_bwd, flow_fwd, 1.0,
+                                   border="constant", radius=(4, 6))
+        err = jnp.sqrt((flow_fwd[..., 0] + bwd_warped[..., 0]) ** 2
+                       + (flow_fwd[..., 1] + bwd_warped[..., 1]) ** 2)
+        unc = jnp.clip(err / 10.0, 0, 1)
+        motion_unc = jnp.clip(
+            jnp.sqrt(flow_fwd[..., 0] ** 2 + flow_fwd[..., 1] ** 2) / 50.0,
+            0, 1)
+        unc = jnp.maximum(unc, motion_unc * 0.5)
+        t_list = jnp.asarray([0.25, 0.5, 0.75])
+        imgs = jnp.concatenate([jnp.tile(prev, (3, 1, 1, 1)),
+                                jnp.tile(curr, (3, 1, 1, 1))], axis=0)
+        t_f = jnp.repeat(t_list, k)[:, None, None, None]
+        flows = jnp.concatenate(
+            [jnp.tile(flow_fwd, (3, 1, 1, 1)) * t_f,
+             jnp.tile(flow_bwd, (3, 1, 1, 1)) * -(1 - t_f)], axis=0)
+        warped = backward_warp(imgs, flows, 1.0, border="constant",
+                               radius=(4, 6)).reshape(2, 3, k, oh, ow, 3)
+        w_fwd = warped[0].transpose(1, 0, 2, 3, 4)  # [K,3,oh,ow,3]
+        w_bwd = warped[1].transpose(1, 0, 2, 3, 4)
+        base = w_fwd * (1 - ts) + w_bwd * ts
+        simple = prev[:, None] * (1 - ts) + curr[:, None] * ts
+        u5 = unc[:, None, :, :, None]
+        mids = base * (1 - u5) + simple * u5
+    elif vfi == "mcar":
+        # MCAR 3-tier routing (methods/inline.py; run_experiments.py:
+        # 449-533, incl. the preserved 0%-RIFE routing bug): complexity
+        # from fast Farneback + Canny edge density, flow precomputed once.
+        from vfisr_tpu.core.warp import backward_warp
+        from vfisr_tpu.ops.edges import canny
+
+        g0 = rgb_to_gray(prev)
+        g1 = rgb_to_gray(curr)
+        flow = farneback_flow(g0, g1, 0.5, 1, 15, 1, 5, 1.1)
+        mag = jnp.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+        mean_motion = jnp.minimum(1.0, jnp.mean(mag, axis=(1, 2)) / 20.0)
+        motion_var = jnp.minimum(1.0, jnp.std(mag, axis=(1, 2)) / 15.0)
+        edges = canny(g1, 100, 200)
+        edge_density = jnp.mean((edges > 0).astype(jnp.float32),
+                                axis=(-2, -1)) * 2.0
+        complexity = jnp.minimum(
+            1.0, 0.5 * mean_motion + 0.3 * motion_var + 0.2 * edge_density)
+        t_f = jnp.repeat(jnp.asarray([0.25, 0.5, 0.75]), k)[:, None, None, None]
+        warped = backward_warp(
+            jnp.tile(prev, (3, 1, 1, 1)),
+            jnp.tile(flow, (3, 1, 1, 1)) * t_f,
+            1.0, border="constant", radius=(4, 6),
+        ).reshape(3, k, oh, ow, 3).transpose(1, 0, 2, 3, 4)
+        flow_mids = warped * (1 - ts) + curr[:, None] * ts
+        blend = prev[:, None] * (1 - ts) + curr[:, None] * ts
+        low = complexity < mcar_low
+        high = (complexity >= mcar_high)
+        rife_used = high  # tier counter (known-bug: effectively never)
+        mids = jnp.where(low[:, None, None, None, None], blend, flow_mids)
+        mids = jnp.where(high[:, None, None, None, None], rife_mids, mids)
     elif vfi == "rife":
         mids = rife_mids
         rife_used = jnp.ones((k,), bool)
@@ -221,6 +319,8 @@ def run_experiment_batched(
     sr_method = experiment.get("sr", "lanczos")
     edge = float(experiment.get("edge", 0))
     motion_thresh = float(experiment.get("motion_thresh", 3.0))
+    mcar_low = float(experiment.get("mcar_low", 0.3))
+    mcar_high = float(experiment.get("mcar_high", 0.7))
     exp_fps = experiment.get("quality_fps", QUALITY_LEVELS[DEFAULT_QUALITY]["fps"])
     out_w, out_h = experiment.get(
         "quality_resolution", QUALITY_LEVELS[DEFAULT_QUALITY]["resolution"]
@@ -229,7 +329,9 @@ def run_experiment_batched(
     interp = "cubic" if sr_method == "bicubic" else "lanczos4"
     if vfi not in DEVICE_METHODS:
         raise ValueError(f"{vfi} has no device-batched path")
-    needs_rife = vfi in ("rife", "adaptive")
+    needs_rife = vfi in ("rife", "adaptive", "mcar")
+    if vfi in _HEAVY_FLOW_METHODS:
+        chunk_pairs = min(chunk_pairs, 4)  # full-res Farneback per pair
     if needs_rife:
         # a chunk is 3*(K+1) IFNet frames at output res — keep the compiled
         # program inside the remote compiler's size envelope (CLAUDE.md)
@@ -275,6 +377,7 @@ def run_experiment_batched(
             src, ref, gt, rife_mids,
             vfi=vfi, interp=interp, edge=edge, out_hw=(out_h, out_w),
             is_control=is_control, motion_thresh=motion_thresh,
+            mcar_low=mcar_low, mcar_high=mcar_high,
             want_frames=writer is not None,
         )
         first_chunk = start == 0
@@ -335,7 +438,7 @@ def run_experiment_batched(
     else:
         overall_psnr, overall_ssim = avg_kf_psnr, avg_kf_ssim
     rife_pct = (100.0 * float(np.mean(rife_used_all))
-                if rife_used_all and vfi == "adaptive"
+                if rife_used_all and vfi in ("adaptive", "mcar")
                 else (100.0 if vfi == "rife" else 0.0))
 
     return {
@@ -359,7 +462,7 @@ def run_experiment_batched(
         "lpips_frames_sampled": len(lpips_vals),
         "rife_frames_pct": round(rife_pct, 1),
         "realtime_x": round((cnt / exp_fps) / elapsed, 2) if elapsed > 0 else 0,
-        "used_rife": vfi in ("rife", "adaptive"),
+        "used_rife": vfi in ("rife", "adaptive", "mcar"),
         "output_video": str(output_path) if output_path else None,
         "device_batched": True,
     }
