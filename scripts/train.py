@@ -64,6 +64,10 @@ def main():
     from vfisr_tpu.utils.checkpoint import load_params, save_params
 
     is_sr = args.model.startswith("span")
+    # SAFA is a JOINT model (safa_wrapper.py:133-137): apply(img0, img1, t)
+    # emits frames at 2x input resolution, so --crop is the INPUT crop and
+    # the ground-truth midpoint is supervised at 2x crop.
+    is_joint = args.model == "safa"
     reg_name = "span" if args.model.startswith("span") else args.model
     reg_kw = {"scale": 4} if args.model == "span_x4" else {}
     if args.model.startswith("rife") and (args.level_radius or args.final_radius):
@@ -117,6 +121,11 @@ def main():
             and jax.devices()[0].platform == "tpu")
     )
     batch_iter = None
+    if args.data and is_joint:
+        raise SystemExit(
+            "safa joint training needs GT at 2x the input resolution; "
+            "triplet data has same-res midpoints — train on synthetic "
+            "scenes (omit --data) or use the VFI-only distill path")
     if args.data and not is_sr:
         ds = TripletCropDataset(args.data, crop=args.crop, seed=args.seed)
         print(f"Training on {len(ds)} triplet crops from {args.data}")
@@ -128,8 +137,9 @@ def main():
         gen_key = jax.random.PRNGKey(args.seed)
 
         def device_batch(step):
+            gen_crop = 2 * args.crop if is_joint else args.crop
             b = device_synthetic_batch(
-                jax.random.fold_in(gen_key, step), args.batch, args.crop
+                jax.random.fold_in(gen_key, step), args.batch, gen_crop
             )
             if is_sr:
                 from vfisr_tpu.core.resize import resize
@@ -141,11 +151,38 @@ def main():
                     "area",
                 )
                 return {"lr": lr, "hr": hr}
+            if is_joint:
+                from vfisr_tpu.core.resize import resize
+
+                # scene at 2x crop: degrade the endpoint inputs to crop
+                # (the deployment regime: low-res pair -> HR midpoints),
+                # supervise gt at full scene resolution.
+                b = dict(b)
+                b["img0"] = resize(b["img0"], (args.crop, args.crop), "area")
+                b["img1"] = resize(b["img1"], (args.crop, args.crop), "area")
             return b
     elif is_sr:
         print(f"Training SR x{sr_scale} on synthetic gaming scenes")
         batch_iter = (synthetic_sr_batch(rng, args.batch, args.crop, sr_scale)
                       for _ in range(args.steps))
+    elif is_joint:
+        print("Training SAFA joint VFI+SR on synthetic scenes (host gen)")
+
+        def _joint_batches():
+            from vfisr_tpu.core.resize import resize
+
+            for b in synthetic_pool_iter(rng, args.batch, 2 * args.crop,
+                                         args.steps):
+                b = dict(b)
+                b["img0"] = np.asarray(
+                    resize(jnp.asarray(b["img0"]), (args.crop, args.crop),
+                           "area"))
+                b["img1"] = np.asarray(
+                    resize(jnp.asarray(b["img1"]), (args.crop, args.crop),
+                           "area"))
+                yield b
+
+        batch_iter = _joint_batches()
     else:
         print("Training on synthetic gaming-motion scenes (pooled/augmented)")
         batch_iter = synthetic_pool_iter(rng, args.batch, args.crop, args.steps)
