@@ -61,6 +61,9 @@ def main():
 
     bench_files = sorted(glob.glob("BENCH_r*.json"))
     bench = json.loads(Path(bench_files[-1]).read_text()) if bench_files else None
+    if bench and "metric" not in bench:
+        # driver wrapper schema: the bench line lives under "parsed"
+        bench = bench.get("parsed")
 
     lines = [
         "# Reference baseline vs this framework",
