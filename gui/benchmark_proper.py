@@ -46,13 +46,23 @@ def get_full_video_duration(video_path) -> float:
 def run_method(method: str, keyframes, out_path: str, out_w: int, out_h: int, fps: float):
     from vfisr_tpu.data.video_io import VideoWriter
     from vfisr_tpu.evaluation.metrics import calc_psnr, calc_ssim
-    from vfisr_tpu.methods.inline import calc_motion, linear_blend
+    from vfisr_tpu.methods.inline import calc_motion, edge_enhance, linear_blend
 
-    rife = None
-    if method in ("rife_lanczos", "adaptive_vfi"):
+    rife = flow_vfi = None
+    if method in ("rife_lanczos", "rife_bicubic", "adaptive_vfi"):
         from vfisr_tpu.models.registry import get_model
 
         rife = get_model("rife", load=True)
+    elif method == "optical_flow":
+        from vfisr_tpu.models.registry import get_model
+
+        flow_vfi = get_model("optical_flow", load=True)
+
+    # SR interpolation per method (reference benchmark_all.py:263-275:
+    # bicubic/rife_bicubic use cubic taps, everything else Lanczos4)
+    sr_interp = (cv2.INTER_CUBIC
+                 if method in ("degraded", "bicubic", "rife_bicubic")
+                 else cv2.INTER_LANCZOS4)
 
     psnrs, ssims = [], []
     prev = None
@@ -63,17 +73,18 @@ def run_method(method: str, keyframes, out_path: str, out_w: int, out_h: int, fp
                 out = cv2.resize(src, (out_w, out_h), interpolation=cv2.INTER_LANCZOS4)
             else:
                 degraded = cv2.resize(src, (960, 540), interpolation=cv2.INTER_AREA)
-                interp = cv2.INTER_CUBIC if method == "degraded" else cv2.INTER_LANCZOS4
-                out = cv2.resize(degraded, (out_w, out_h), interpolation=interp)
+                out = cv2.resize(degraded, (out_w, out_h), interpolation=sr_interp)
+                if method == "lanczos_edge":
+                    out = edge_enhance(out, 1.3)
 
             if prev is not None:
                 for i in range(1, 4):
-                    if method == "control":
+                    if method in ("control", "degraded"):
                         mid = prev
-                    elif method == "degraded":
-                        mid = prev
-                    elif method == "rife_lanczos":
+                    elif method in ("rife_lanczos", "rife_bicubic"):
                         mid = rife.interpolate(prev, out, 1, [i / 4])[0]
+                    elif method == "optical_flow":
+                        mid = flow_vfi.interpolate(prev, out, 1, [i / 4])[0]
                     elif method == "adaptive_vfi":
                         g0 = cv2.resize(cv2.cvtColor(prev, cv2.COLOR_RGB2GRAY), (480, 270))
                         g1 = cv2.resize(cv2.cvtColor(out, cv2.COLOR_RGB2GRAY), (480, 270))
@@ -81,7 +92,7 @@ def run_method(method: str, keyframes, out_path: str, out_w: int, out_h: int, fp
                             mid = rife.interpolate(prev, out, 1, [i / 4])[0]
                         else:
                             mid = linear_blend(prev, out, i / 4)
-                    else:  # lanczos blend
+                    else:  # lanczos / bicubic / lanczos_edge: linear blend
                         mid = linear_blend(prev, out, i / 4)
                     writer.write(mid)
             writer.write(out)
