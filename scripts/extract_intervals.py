@@ -19,7 +19,16 @@ def main():
                         help="Spread intervals over linspace(0.1, 0.9) of the clip")
     parser.add_argument("--resolution", default="1920x1080")
     parser.add_argument("--data-dir", default="data")
+    parser.add_argument("--platform", default="auto", choices=["cpu", "auto"],
+                        help="force JAX to CPU for the per-pair motion stats "
+                        "(a sitecustomize pins JAX_PLATFORMS, so an env var "
+                        "cannot; 'auto' keeps the environment default)")
     args = parser.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from vfisr_tpu.data.extract_intervals import IntervalExtractor
 
