@@ -1,0 +1,273 @@
+#!/usr/bin/env python
+"""Generate outputs/COMPREHENSIVE_REPORT.md and outputs/METHODS_REFERENCE.md.
+
+The reference's outputs corpus includes a hand-written benchmark report and
+methods quick-reference (reference outputs/COMPREHENSIVE_REPORT.md,
+METHODS_REFERENCE.md); here both are *generated* from
+outputs/experiment_results.json + the experiment config tables, so they
+always reflect the latest sweep rather than a stale narrative.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _category(name: str) -> str:
+    if name == "control":
+        return "Reference"
+    if name == "degraded":
+        return "Baseline"
+    if name.startswith("rife"):
+        return "Neural"
+    if name.startswith("adaptive"):
+        return "Adaptive"
+    if name.split("_")[0] in ("uafi", "ughi", "mcar"):
+        return "Novel"
+    return "Traditional"
+
+
+def _agg(experiments):
+    """Mean per method over intervals; keep measured fields."""
+    rows = defaultdict(lambda: defaultdict(list))
+    for e in experiments:
+        r = rows[e["name"]]
+        for k in ("vfi_psnr_db", "vfi_ssim", "keyframe_psnr_db", "time_s",
+                  "rife_frames_pct"):
+            v = e.get(k)
+            if isinstance(v, (int, float)):
+                r[k].append(v)
+        r["intervals"].append(e.get("interval_idx"))
+        if e.get("lpips_mode"):
+            r["lpips_mode"] = [e["lpips_mode"]]
+    out = {}
+    for name, r in rows.items():
+        out[name] = {k: (float(np.mean(v)) if k != "lpips_mode" and v else
+                         (v[0] if v else None))
+                     for k, v in r.items() if k != "intervals"}
+        out[name]["n"] = len(set(r["intervals"]))
+    return out
+
+
+def comprehensive_report(results_path: str, out_path: Path) -> None:
+    data = json.loads(Path(results_path).read_text())
+    agg = _agg(data["experiments"])
+    ranked = sorted(
+        ((n, a) for n, a in agg.items() if n != "control"
+         and a.get("vfi_psnr_db") is not None),
+        key=lambda kv: kv[1]["vfi_psnr_db"], reverse=True)
+    base = agg.get("degraded", {}).get("vfi_psnr_db")
+    rife = agg.get("rife_default", {})
+    blend = agg.get("lanczos_blend", {})
+    flow = agg.get("optical_flow_basic", {})
+    n_int = max((a["n"] for a in agg.values()), default=0)
+
+    L = [
+        "# VFI+SR Comprehensive Benchmark Report",
+        "",
+        f"**Date:** {datetime.date.today():%B %d, %Y}",
+        "**Hardware:** single TPU v5e chip (vs reference RTX 3090)",
+        "**Test clip:** synthetic gaming clip `synth_001` "
+        "(scripts/make_synthetic_clip.py — no real footage ships with "
+        "either snapshot), 1920x1080@60, 5 s intervals",
+        f"**Intervals:** {n_int} (150 keyframes + 150 GT midpoints each)",
+        "**Metrics:** VFI PSNR = t=0.5 interpolated frames vs held-out GT "
+        "midpoints; KF PSNR = even keyframes vs reference frames; overall "
+        "= 0.25*KF + 0.75*VFI (reference run_experiments.py:1021-1038)",
+        "",
+        "---",
+        "",
+        "## Executive Summary",
+        "",
+    ]
+    if rife and base:
+        L.append(f"1. **RIFE provides {rife['vfi_psnr_db'] - base:+.2f} dB "
+                 f"VFI improvement** over the frame-duplication baseline "
+                 f"({rife['vfi_psnr_db']:.2f} vs {base:.2f} dB) — the "
+                 "reference measured +3.52 dB on captured footage.")
+    if blend and flow:
+        L.append(f"2. **Linear blending beats optical flow** by "
+                 f"{blend['vfi_psnr_db'] - flow['vfi_psnr_db']:+.2f} dB "
+                 f"({blend['vfi_psnr_db']:.2f} vs {flow['vfi_psnr_db']:.2f}),"
+                 " reproducing the reference's counterintuitive finding.")
+    mcar = agg.get("mcar_default", {})
+    if mcar:
+        L.append(f"3. MCAR routes {mcar.get('rife_frames_pct', 0):.0f}% of "
+                 "frames to RIFE — the reference's 0%-RIFE routing bug is "
+                 "preserved by formula (COMPREHENSIVE_REPORT.md:126-130).")
+    edge = agg.get("lanczos_blend_edge", {})
+    if edge and blend:
+        L.append(f"4. Edge enhancement changes VFI PSNR by "
+                 f"{edge['vfi_psnr_db'] - blend['vfi_psnr_db']:+.2f} dB "
+                 "(reference: negative — sharpening hurts objective quality).")
+    L += [
+        "",
+        "---",
+        "",
+        "## Methodology",
+        "",
+        "- Degrade 1080p source to 960x540, SR back by the method's scaler, "
+        "generate 3 intermediates per keyframe pair by the method's VFI.",
+        "- All per-pair analysis + degrade + SR + VFI + metrics run as "
+        "device-batched jitted programs (harness/device_sweep.py); the "
+        "host only decodes/encodes video.",
+        "- LPIPS column uses the native AlexNet-LPIPS in the mode recorded "
+        "per row (`lpips_mode`; 'random_features' until official weights "
+        "exist — not comparable to reference LPIPS absolute values).",
+        "- Device timing: chained-fori_loop marginal method (bench.py) — "
+        "`block_until_ready` is a no-op through the async TPU tunnel.",
+        "",
+        "---",
+        "",
+        "## Results Table",
+        "",
+        "### Sorted by VFI quality (interpolation performance)",
+        "",
+        "| Rank | Method | VFI PSNR | VFI SSIM | KF PSNR | Time | RIFE% | Category |",
+        "|------|--------|----------|----------|---------|------|-------|----------|",
+    ]
+    for i, (name, a) in enumerate(ranked, 1):
+        L.append(
+            f"| {i} | {name} | {a['vfi_psnr_db']:.2f}dB | "
+            f"{a.get('vfi_ssim', float('nan')):.4f} | "
+            f"{a.get('keyframe_psnr_db', float('nan')):.2f}dB | "
+            f"{a.get('time_s', 0):.1f}s | "
+            f"{a.get('rife_frames_pct', 0):.0f}% | {_category(name)} |")
+    L += ["", "---", "", "## Analysis", ""]
+    adaptive = {n: a for n, a in agg.items() if n.startswith("adaptive")}
+    if adaptive:
+        L.append("### Adaptive routing tradeoff")
+        L.append("")
+        for n in ("adaptive_aggressive", "adaptive_default",
+                  "adaptive_conservative"):
+            a = adaptive.get(n)
+            if a:
+                L.append(f"- `{n}`: {a.get('rife_frames_pct', 0):.0f}% RIFE "
+                         f"-> {a['vfi_psnr_db']:.2f} dB @ "
+                         f"{a.get('time_s', 0):.0f}s")
+        L.append("")
+        L.append("RIFE usage is content-driven (router motion thresholds "
+                 "at 480x270); low-motion intervals route almost entirely "
+                 "to blend, matching the reference's adaptive_default "
+                 "behavior (5% RIFE on its content).")
+        L.append("")
+    L += [
+        "### Novel methods",
+        "",
+    ]
+    for n in ("uafi_default", "ughi_default", "mcar_default"):
+        a = agg.get(n)
+        if a and base:
+            L.append(f"- `{n}`: {a['vfi_psnr_db'] - base:+.2f} dB vs "
+                     f"baseline at {a.get('time_s', 0):.0f}s "
+                     f"({_category(n)}).")
+    L += [
+        "",
+        "---",
+        "",
+        "## Statistical Validation",
+        "",
+        "See `statistical_summary.md` (per-method gains with t-CIs), "
+        "`statistical_analysis.json` (Cohen's d paired comparisons), "
+        "`normalized_results.json`, `final_analysis.json`. With "
+        f"{n_int} interval(s) per method, confidence labels are reported "
+        "honestly as 'insufficient samples' where n < 3.",
+        "",
+        "## Reproduction",
+        "",
+        "```",
+        "python scripts/make_synthetic_clip.py data/raw/synth_001.mp4",
+        "python scripts/register_clip.py data/raw/synth_001.mp4 --clip-id synth_001",
+        "python scripts/extract_intervals.py --clip-id synth_001 --count 2 --duration 5",
+        "python scripts/run_experiments.py --clip synth_001 --intervals 0,1 --heavy",
+        "python scripts/generate_comprehensive_report.py",
+        "```",
+    ]
+    out_path.write_text("\n".join(L) + "\n")
+    print(f"Wrote {out_path}")
+
+
+def methods_reference(out_path: Path) -> None:
+    from vfisr_tpu.harness.experiments import (
+        EXPERIMENTS,
+        QUALITY_LEVELS,
+    )
+
+    by_cat = defaultdict(list)
+    for e in EXPERIMENTS:
+        by_cat[_category(e["name"])].append(e)
+
+    L = [
+        "# VFI Methods Quick Reference",
+        "",
+        "Generated from the experiment config tables "
+        "(vfisr_tpu/harness/experiments.py — the reference's "
+        "LIGHT_EXPERIMENTS/HEAVY_EXPERIMENTS schema preserved).",
+        "",
+        "## Method Categories",
+        "",
+    ]
+    for cat in ("Reference", "Baseline", "Traditional", "Neural",
+                "Adaptive", "Novel"):
+        rows = by_cat.get(cat)
+        if not rows:
+            continue
+        L += [f"### {cat}", "",
+              "| Method | VFI | SR | Edge | Extra | Description |",
+              "|--------|-----|----|------|-------|-------------|"]
+        for e in rows:
+            extra = {k: v for k, v in e.items()
+                     if k not in ("name", "vfi", "sr", "edge", "description")}
+            L.append(
+                f"| `{e['name']}` | {e['vfi']} | {e['sr']} | "
+                f"{e.get('edge', 0) or '—'} | "
+                f"{', '.join(f'{k}={v}' for k, v in extra.items()) or '—'} | "
+                f"{e['description']} |")
+        L.append("")
+    L += [
+        "## Quality Levels",
+        "",
+        "| Level | Output | FPS |",
+        "|-------|--------|-----|",
+    ]
+    for name, q in QUALITY_LEVELS.items():
+        L.append(f"| {name} | {q['label']} | {q['fps']} |")
+    L += [
+        "",
+        "## Metric Definitions",
+        "",
+        "| Metric | Description | Range |",
+        "|--------|-------------|-------|",
+        "| `keyframe_psnr_db` | PSNR of keyframes vs reference | higher = better |",
+        "| `vfi_psnr_db` | PSNR of t=0.5 frames vs GT midpoints | higher = better |",
+        "| `overall_psnr_db` | 0.25*KF + 0.75*VFI | higher = better |",
+        "| `vfi_lpips` | native AlexNet-LPIPS (see `lpips_mode`) | lower = better |",
+        "| `rife_frames_pct` | share of VFI frames produced by RIFE | — |",
+        "| `realtime_x` | (frames/target_fps)/elapsed | 1.0 = real time |",
+    ]
+    out_path.write_text("\n".join(L) + "\n")
+    print(f"Wrote {out_path}")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--results", default="outputs/experiment_results.json")
+    parser.add_argument("--output-dir", default="outputs")
+    args = parser.parse_args()
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    comprehensive_report(args.results, out / "COMPREHENSIVE_REPORT.md")
+    methods_reference(out / "METHODS_REFERENCE.md")
+
+
+if __name__ == "__main__":
+    main()
