@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Held-out SR quality comparison: trained SR models vs classical resamplers.
+
+Companion to eval_vfi_quality.py. Renders held-out synthetic gaming scenes,
+downscales by the model's factor (area, the degradation the harness uses —
+reference run_experiments.py degrade step), upscales back with each model,
+and reports PSNR/SSIM vs the original.
+
+    python scripts/eval_sr_quality.py --models span,span_x4,lanczos,bicubic
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--models", default="span,span_x4,lanczos,bicubic")
+    parser.add_argument("--samples", type=int, default=12)
+    parser.add_argument("--crop", type=int, default=256)
+    parser.add_argument("--seed", type=int, default=321)
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from vfisr_tpu.core.resize import resize
+    from vfisr_tpu.evaluation.metrics import (
+        compute_psnr_simple,
+        compute_ssim_simple,
+    )
+    from vfisr_tpu.models.registry import get_model
+    from vfisr_tpu.train.data import synthetic_batch
+
+    rng = np.random.default_rng(args.seed)
+    batch = synthetic_batch(rng, args.samples, args.crop)
+    hr = (batch["gt"] * 255).astype(np.uint8)
+
+    print(f"{'model':<12}{'scale':>6}{'PSNR':>8}{'SSIM':>8}")
+    print("-" * 34)
+    for name in args.models.split(","):
+        name = name.strip()
+        scale = 4 if name.endswith("_x4") else 2
+        reg = "span" if name.startswith("span") else name
+        kw = {"scale": 4} if name == "span_x4" else {}
+        model = get_model(reg, load=True, **kw)
+        lo_hw = (args.crop // scale, args.crop // scale)
+        psnrs, ssims = [], []
+        for i in range(args.samples):
+            lo = np.asarray(resize(hr[i].astype(np.float32), lo_hw, "area"))
+            lo_u8 = np.clip(lo + 0.5, 0, 255).astype(np.uint8)
+            up = model.upscale(lo_u8, scale=float(scale))
+            psnrs.append(compute_psnr_simple(up, hr[i]))
+            ssims.append(compute_ssim_simple(up, hr[i]))
+        finite = [p for p in psnrs if np.isfinite(p)]
+        print(f"{name:<12}{scale:>5}x{np.mean(finite):>8.2f}"
+              f"{np.mean(ssims):>8.4f}")
+
+
+if __name__ == "__main__":
+    main()
