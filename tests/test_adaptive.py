@@ -97,3 +97,34 @@ def test_routing_stats():
     assert d["rife_pct"] == 50.0
     assert d["vfimamba"] == 1
     assert RoutingStats().to_dict() == {"total": 0}
+
+
+def test_process_pair_hud_composite_writable():
+    """Regression: HUD compositing must not assume interpolated frames are
+    writable (device-backed arrays are read-only views)."""
+    import cv2
+    from vfisr_tpu.models.novel.adaptive_pipeline import AdaptivePipeline
+
+    rng = np.random.default_rng(13)
+    smooth = cv2.resize(
+        rng.integers(0, 256, (9, 12, 3), np.uint8), (192, 144),
+        interpolation=cv2.INTER_CUBIC,
+    )
+    frames = []
+    for i in range(7):
+        f = np.roll(smooth, 5 * i, axis=1).copy()
+        f[120:140, 10:60] = 200  # static HUD box
+        frames.append(f)
+
+    pipe = AdaptivePipeline(enable_vfimamba=False)
+    pipe.load()
+    # build HUD history (>=5 frames) so hud_coverage > 1%
+    for i in range(6):
+        pipe.router.analyze(frames[i], frames[i + 1])
+    assert pipe.router.hud_mask is not None
+    res = pipe.process_pair(frames[5], frames[6], num_intermediate=3, target_scale=1.0)
+    assert len(res.frames) == 5
+    if res.extra_info["analysis"]["hud_coverage"] > 0.01:
+        # composited HUD pixels come verbatim from a source frame
+        mid = res.frames[2]
+        assert np.abs(mid[125:135, 20:50].astype(int) - 200).max() <= 2

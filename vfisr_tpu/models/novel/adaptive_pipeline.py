@@ -491,7 +491,10 @@ class AdaptivePipeline(BaseModel):
                 for i, frame in enumerate(interpolated):
                     t = timestamps[i]
                     source = frame0 if t < 0.5 else frame1
+                    # frames may be read-only views of device arrays
+                    frame = np.array(frame) if not frame.flags.writeable else frame
                     frame[hud_mask] = source[hud_mask]
+                    interpolated[i] = frame
         all_frames = [frame0] + interpolated + [frame1]
         upscaled = [self.upscale(f, target_scale) for f in all_frames]
         end = time.perf_counter()
