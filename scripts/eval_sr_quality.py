@@ -43,7 +43,9 @@ def main():
     for name in args.models.split(","):
         name = name.strip()
         scale = 4 if name.endswith("_x4") else 2
-        reg = "span" if name.startswith("span") else name
+        # "_x4" suffix selects the 4x variant; classical resamplers accept
+        # any scale, so strip the suffix for their registry lookup too.
+        reg = "span" if name.startswith("span") else name.removesuffix("_x4")
         kw = {"scale": 4} if name == "span_x4" else {}
         model = get_model(reg, load=True, **kw)
         lo_hw = (args.crop // scale, args.crop // scale)
