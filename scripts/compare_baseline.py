@@ -59,7 +59,12 @@ def main():
     out_path = Path(sys.argv[2] if len(sys.argv) > 2 else "docs/BASELINE_COMPARISON.md")
     ours = load_ours(results_path)
 
-    bench_files = sorted(glob.glob("BENCH_r*.json"))
+    # Latest recorded bench: driver rounds (BENCH_r*.json) plus any local
+    # bench.py run saved to outputs/bench_latest.json (newest mtime wins).
+    bench_files = sorted(
+        glob.glob("BENCH_r*.json") + glob.glob("outputs/bench_latest.json"),
+        key=lambda p: Path(p).stat().st_mtime,
+    )
     bench = json.loads(Path(bench_files[-1]).read_text()) if bench_files else None
     if bench and "metric" not in bench:
         # driver wrapper schema: the bench line lives under "parsed"
