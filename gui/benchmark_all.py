@@ -87,7 +87,10 @@ def main():
         print("\nBy quality (psnr, ssim):")
         for r in sorted(results, key=lambda x: (x["psnr"] or 0, x["ssim"] or 0),
                         reverse=True):
-            print(f"  {r['method']:<14} {r['psnr']:.2f} dB  {r['ssim']:.4f}")
+            # psnr/ssim are None when every frame matched exactly (control)
+            psnr = "inf " if r["psnr"] is None else f"{r['psnr']:.2f}"
+            ssim = "1.0000" if r["ssim"] is None else f"{r['ssim']:.4f}"
+            print(f"  {r['method']:<14} {psnr} dB  {ssim}")
         print("By speed:")
         for r in sorted(results, key=lambda x: x["time_s"]):
             print(f"  {r['method']:<14} {r['time_s']:.1f} s")

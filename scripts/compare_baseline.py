@@ -47,7 +47,7 @@ def load_ours(results_path: str):
                          ("time_s", "time_s")):
             v = e.get(src)
             if isinstance(v, (int, float)):
-                agg[dst if dst != "vfi_psnr" else "vfi_psnr"].append(v)
+                agg[dst].append(v)
     return {
         n: {k: (sum(v) / len(v) if v else None) for k, v in a.items()}
         for n, a in by_name.items()

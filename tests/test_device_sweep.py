@@ -138,3 +138,39 @@ class TestInnovativeMethodsDevicePath:
         if vfi == "mcar":
             assert dev["rife_frames_pct"] == pytest.approx(
                 host["rife_frames_pct"], abs=1e-6)
+
+    def test_uafi_ui_source_is_curr_at_half(self):
+        """Regression: the UI-region source at t=0.5 must be the CURRENT
+        frame (host rule x0 if t < 0.5 else x1) — a blinking HUD element
+        (content change, near-zero flow) must show its curr value in the
+        evaluated midpoint, not its prev value."""
+        import jax.numpy as jnp
+
+        from vfisr_tpu.harness import device_sweep as ds
+
+        kfs, _ = _interval(n_kf=3)
+        h, w = kfs[0].shape[:2]
+        # static background (zero flow -> mag < 2 everywhere) + blinking
+        # HUD box (recon_err > 30 inside) -> UI mask == the box
+        kfs = [kfs[0].copy() for _ in kfs]
+        for i, f in enumerate(kfs):
+            f[h // 2 - 24:h // 2 + 24, w // 2 - 40:w // 2 + 40] = (
+                60 if i % 2 == 0 else 200)
+        src = jnp.asarray(np.stack(kfs))
+        out_hw = (h, w)  # SR identity keeps the box addressable
+        res = ds._chunk_program(
+            src, src, src[1:][:, :, :, :], jnp.zeros((2, 3, h, w, 3)),
+            vfi="ui_aware", interp="lanczos4", edge=0.0, out_hw=out_hw,
+            is_control=True, motion_thresh=3.0, mcar_low=0.3, mcar_high=0.7,
+            want_frames=False,
+        )
+        mid_half = np.asarray(res["mid_half_u8"])  # [K=2, h, w, 3]
+        box = mid_half[0, h // 2 - 12:h // 2 + 12, w // 2 - 20:w // 2 + 20]
+        # pair 0: prev box = 60, curr box = 200, blend = 130. Farneback
+        # reads the blink as motion so only part of the box passes the
+        # mag<2 gate — but every masked pixel must come verbatim from
+        # CURR (200), never PREV (60).
+        frac_curr = (box == 200).mean()
+        frac_prev = (box == 60).mean()
+        assert frac_curr > 0.05, f"UI mask never composited curr ({frac_curr})"
+        assert frac_prev < 0.01, f"UI pixels sourced from prev ({frac_prev})"

@@ -144,11 +144,13 @@ def _chunk_program(
         fl = farneback_flow(g0, g1)
         fl = resize(fl, out_hw, "linear") * 2.0
         t_fac = jnp.repeat(jnp.asarray([0.25, 0.5, 0.75]), k)[:, None, None, None]
+        # border="constant" matches the host loop's remap_bilinear default
+        # (cv2 zero taps at border-exiting motion)
         warped = backward_warp(
             jnp.tile(prev, (3, 1, 1, 1)),
             jnp.tile(fl, (3, 1, 1, 1)) * t_fac,
             1.0,
-            border="replicate",
+            border="constant",
         )  # [3K, oh, ow, 3], timestep-major
         warped = warped.reshape(3, k, oh, ow, 3).transpose(1, 0, 2, 3, 4)
         mids = warped * (1 - ts) + curr[:, None] * ts
@@ -176,7 +178,8 @@ def _chunk_program(
         ui = morph_open(morph_close(ui.astype(jnp.uint8), 5), 5) > 0
         blended = (warped_all[1:].transpose(1, 0, 2, 3, 4) * (1 - ts)
                    + curr[:, None] * ts)
-        ui_src = jnp.stack([prev, prev, curr], axis=1)  # t<0.5 -> x0 else x1
+        # host rule: x0 if t < 0.5 else x1 -> t=0.25:prev, t=0.5:curr, t=0.75:curr
+        ui_src = jnp.stack([prev, curr, curr], axis=1)
         mids = jnp.where(ui[:, None, :, :, None], ui_src, blended)
     elif vfi == "ughi":
         # UGHI (methods/inline.py::_ughi_core; run_experiments.py:536-593):
@@ -341,6 +344,18 @@ def run_experiment_batched(
               if output_path else None)
 
     n_pairs = interval.n_kf - 1
+    # Pad the device stacks with repeats of the last frame so every chunk is
+    # a contiguous static-shape dynamic_slice — no advanced-indexing gather
+    # on the hot path (serial on TPU; CLAUDE.md). The repeated-tail padding
+    # reproduces the old per-index clamp exactly; padded entries are masked
+    # out host-side below.
+    def _pad_tail(x, n):
+        return jnp.concatenate([x, jnp.repeat(x[-1:], n, axis=0)], axis=0)
+
+    kf_pad = _pad_tail(interval.kf, chunk_pairs)
+    ref_pad = _pad_tail(interval.ref, chunk_pairs + 1)
+    mid_pad = (_pad_tail(interval.mid, chunk_pairs)
+               if interval.mid is not None else None)
     kf_psnr_all, kf_ssim_all = [], []
     vfi_psnr_all, vfi_ssim_all, rife_used_all = [], [], []
     lpips_vals = []
@@ -349,16 +364,14 @@ def run_experiment_batched(
 
     for start in range(0, n_pairs, chunk_pairs):
         k_real = min(chunk_pairs, n_pairs - start)
-        # pad the tail chunk to the compiled K (masked out host-side)
-        idx = np.minimum(np.arange(start, start + chunk_pairs + 1),
-                         interval.n_kf - 1)
-        src = interval.kf[idx]
-        ref = interval.ref[np.minimum(idx, interval.ref.shape[0] - 1)]
-        mididx = np.minimum(np.arange(start, start + chunk_pairs),
-                            (interval.mid.shape[0] - 1)
-                            if interval.mid is not None else 0)
-        gt = (interval.mid[mididx] if interval.mid is not None
-              else interval.kf[mididx])
+        # contiguous static-shape windows; tail chunks read the repeated
+        # padding frames (masked out host-side)
+        src = jax.lax.dynamic_slice_in_dim(kf_pad, start, chunk_pairs + 1)
+        ref = jax.lax.dynamic_slice_in_dim(ref_pad, start, chunk_pairs + 1)
+        gt = (jax.lax.dynamic_slice_in_dim(mid_pad, start, chunk_pairs)
+              if mid_pad is not None
+              else jnp.broadcast_to(interval.kf[0], (chunk_pairs,)
+                                    + interval.kf.shape[1:]))
 
         rife_mids = jnp.zeros((chunk_pairs, 3, out_h, out_w, 3), jnp.float32)
         if needs_rife:
@@ -464,5 +477,11 @@ def run_experiment_batched(
         "realtime_x": round((cnt / exp_fps) / elapsed, 2) if elapsed > 0 else 0,
         "used_rife": vfi in ("rife", "adaptive", "mcar"),
         "output_video": str(output_path) if output_path else None,
+        "quality_level": experiment.get("quality_level", "default"),
+        "target_fps": exp_fps,
+        "target_resolution": f"{out_w}x{out_h}",
+        "vfi_method": vfi,
+        "sr_method": sr_method,
+        "edge_strength": edge,
         "device_batched": True,
     }

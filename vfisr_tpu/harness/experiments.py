@@ -514,10 +514,10 @@ def run_experiment_sweep(
 ) -> dict:
     """Sweep experiments × intervals with checkpoint/resume + SIGINT.
 
-    device_batched: run supported methods through the chunked on-device
-    path (harness.device_sweep — the interval stays HBM-resident and each
-    dispatch covers K pairs); UAFI/UGHI/MCAR and any device failure fall
-    back to the per-frame host loop."""
+    device_batched: run every method through the chunked on-device path
+    (harness.device_sweep — the interval stays HBM-resident and each
+    dispatch covers K pairs, UAFI/UGHI/MCAR included); a device failure
+    falls back to the per-frame host loop."""
     from vfisr_tpu.data.extract_intervals import load_interval
 
     out_dir = Path(output_dir)

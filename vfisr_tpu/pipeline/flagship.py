@@ -329,7 +329,39 @@ class FlagshipVFI:
             },
         )
 
+    def fused_stream_step(self, prev_u8, curr_u8, scale: float, timestamps):
+        """One fused program per pair for the streaming pipeline: router
+        analysis + scene/HUD composite + shared-flow RIFE + SR, with HUD
+        history carried across calls. Returns [(1+T), oh, ow, 3] uint8
+        device frames (async) — prev endpoint + T composited midpoints,
+        upscaled. This is the 167-fps bench path; pipeline/streaming.py
+        prefers it over the bare interpolate_batch/upscale_batch pair."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from vfisr_tpu.core.resize import scale_size
+
+        self.ensure_loaded()
+        ts = tuple(timestamps)
+        if ts != self.base_config.timestamps:
+            self.base_config = dataclasses.replace(
+                self.base_config, timestamps=ts)
+            self._steps.clear()
+        x0 = jnp.asarray(prev_u8, jnp.float32)[None] / 255.0
+        x1 = jnp.asarray(curr_u8, jnp.float32)[None] / 255.0
+        h, w = x0.shape[1:3]
+        out_hw = scale_size(h, w, scale)
+        step = self._step_for((h, w), out_hw)
+        hist, hcnt = self._history_for(1)
+        up, _, hist, hcnt, _ = step(x0, x1, hist, hcnt)
+        self._hist = (hist, hcnt)
+        return up
+
     def interpolate_batch(self, x0, x1, timestamps):
+        """Bare shared-flow RIFE mids (NO scene-cut hold / HUD composite —
+        the generic two-phase contract; the fused behaviors live in
+        process_pair / fused_stream_step)."""
         import jax.numpy as jnp
 
         from vfisr_tpu.core.frames import pad_to_multiple, unpad

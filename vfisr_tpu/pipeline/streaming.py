@@ -52,13 +52,17 @@ def _build_model(method: Optional[str], vfi_model: Optional[str], sr_model: Opti
 def _decode_worker(reader: VideoReader, q: "queue.Queue", max_frames: int,
                    stop: threading.Event):
     n = 0
-    while not stop.is_set():
-        frame = reader.read()
-        if frame is None or (max_frames and n >= max_frames):
-            break
-        q.put(frame)
-        n += 1
-    q.put(None)  # EOF sentinel
+    try:
+        while not stop.is_set():
+            frame = reader.read()
+            if frame is None or (max_frames and n >= max_frames):
+                break
+            q.put(frame)
+            n += 1
+    finally:
+        # EOF sentinel must reach the consumer even if read() raises
+        # (corrupt stream), or the main thread blocks forever on q.get()
+        q.put(None)
 
 
 def process_video(
@@ -87,9 +91,16 @@ def process_video(
         (i + 1) / (num_intermediate + 1) for i in range(num_intermediate)
     )
     batched = hasattr(model, "interpolate_batch") and hasattr(model, "upscale_batch")
+    # models with a fully fused per-pair program (flagship: analysis +
+    # scene/HUD composite + VFI + SR in one jitted dispatch) stream
+    # through it instead of the generic two-phase path
+    fused = (getattr(model, "fused_stream_step", None)
+             if num_intermediate else None)
 
     def device_step(prev_u8: np.ndarray, curr_u8: np.ndarray):
         """Dispatch VFI+SR for one pair; returns device arrays (async)."""
+        if fused is not None:
+            return fused(prev_u8, curr_u8, scale, timestamps)
         x0 = jnp.asarray(prev_u8, jnp.float32)[None] / 255.0
         x1 = jnp.asarray(curr_u8, jnp.float32)[None] / 255.0
         if num_intermediate:
@@ -148,7 +159,7 @@ def process_video(
                         device_wait_s += time.time() - td
                         tw = time.time()
                         for f in host_frames:
-                            writer.write(f)
+                            writer.write(fit(f))
                             out_frames += 1
                         encode_s += time.time() - tw
                     pending_dev = this_dev
@@ -169,7 +180,7 @@ def process_video(
                 host_frames = np.asarray(pending_dev)
                 device_wait_s += time.time() - td
                 for f in host_frames:
-                    writer.write(f)
+                    writer.write(fit(f))
                     out_frames += 1
             # final endpoint
             last = model.upscale(prev, scale)
@@ -195,7 +206,8 @@ def process_video(
         "elapsed_s": elapsed,
         "realtime_x": (out_frames / target_fps) / elapsed if elapsed > 0 else 0,
         "model": model.info.name,
-        "pipeline": "double_buffered" if batched else "host_fallback",
+        "pipeline": ("fused_double_buffered" if fused is not None
+                     else "double_buffered" if batched else "host_fallback"),
         "decode_wait_s": round(decode_wait_s, 3),
         "device_materialize_s": round(device_wait_s, 3),
         "encode_s": round(encode_s, 3),
