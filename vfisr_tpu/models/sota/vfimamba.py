@@ -241,11 +241,18 @@ class VFIMambaModel(BaseModel):
 
     def load(self, weights_path: Optional[str] = None) -> None:
         import os
+        import warnings
 
         if weights_path is None:
             default = f"weights/vfimamba{'_s' if self.variant != 'full' else ''}.npz"
             if os.path.exists(default):
                 weights_path = default
+            else:
+                # zero-init heads make a fresh net ≈ linear blend, but say so
+                warnings.warn(
+                    f"{default} not found — VFIMamba[{self.variant}] runs "
+                    "with fresh-init parameters (≈ linear blend; train via "
+                    "scripts/train.py)", stacklevel=2)
         module = VFIMambaNet(self.cfg)
         rng = jax.random.PRNGKey(self.seed)
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
