@@ -1,0 +1,93 @@
+"""Streaming pipeline (pipeline/streaming.py — the process.py engine):
+fused flagship path, generic batched path, and decode-failure resilience.
+
+Reference pipeline semantics: run_experiments.py:760-806 (ffmpeg-stdin
+streaming with backpressure); here: decode thread + bounded queue +
+double-buffered device dispatch.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_clip(tmp_path_factory):
+    import cv2
+
+    path = str(tmp_path_factory.mktemp("clips") / "in.mp4")
+    rng = np.random.default_rng(3)
+    base = cv2.resize(rng.integers(0, 256, (12, 16, 3), np.uint8), (128, 96),
+                      interpolation=cv2.INTER_CUBIC)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (128, 96))
+    for i in range(8):
+        vw.write(np.roll(base, 4 * i, axis=1))
+    vw.release()
+    return path
+
+
+def _frame_count_and_size(path):
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    cap.release()
+    return n, w, h
+
+
+class TestStreaming:
+    def test_generic_batched_path(self, tiny_clip, tmp_path):
+        from vfisr_tpu.pipeline.streaming import process_video
+
+        out = str(tmp_path / "out.mp4")
+        stats = process_video(tiny_clip, out, method="lanczos",
+                              target_fps=120, target_resolution=(170, 128),
+                              max_frames=6)
+        assert stats["pipeline"] == "double_buffered"
+        # 5 pairs x (1 endpoint + 3 mids) + final endpoint = 21
+        assert stats["output_frames"] == 21
+        n, w, h = _frame_count_and_size(out)
+        # every written frame must be fit() to the target size
+        assert (n, w, h) == (21, 170, 128)
+        assert stats["device_busy_fraction"] >= 0
+
+    def test_flagship_uses_fused_step(self, tiny_clip, tmp_path):
+        from vfisr_tpu.pipeline.streaming import process_video
+
+        out = str(tmp_path / "out_flag.mp4")
+        stats = process_video(tiny_clip, out, method="flagship",
+                              target_fps=120, target_resolution=(170, 128),
+                              max_frames=6)
+        # the flagship must stream through its fused program (analysis +
+        # scene/HUD composite + SR in one dispatch), not bare RIFE
+        assert stats["pipeline"] == "fused_double_buffered"
+        assert stats["output_frames"] == 21
+        assert _frame_count_and_size(out) == (21, 170, 128)
+
+    @pytest.mark.filterwarnings(
+        "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+    def test_decode_failure_does_not_deadlock(self, tiny_clip, tmp_path,
+                                              monkeypatch):
+        """A reader that dies mid-stream must still deliver the EOF
+        sentinel — process_video finishes with the frames read so far
+        instead of blocking forever on the queue."""
+        from vfisr_tpu.data.video_io import VideoReader
+        from vfisr_tpu.pipeline.streaming import process_video
+
+        real_read = VideoReader.read
+        calls = {"n": 0}
+
+        def flaky_read(self):
+            calls["n"] += 1
+            if calls["n"] > 3:
+                raise RuntimeError("simulated corrupt stream")
+            return real_read(self)
+
+        monkeypatch.setattr(VideoReader, "read", flaky_read)
+        out = str(tmp_path / "out_flaky.mp4")
+        stats = process_video(tiny_clip, out, method="lanczos",
+                              target_fps=120, target_resolution=(170, 128))
+        assert stats["input_frames"] == 3
+        # 2 pairs x 4 + final endpoint
+        assert stats["output_frames"] == 9
