@@ -22,7 +22,16 @@ def main():
     parser.add_argument("--samples", type=int, default=12)
     parser.add_argument("--crop", type=int, default=256)
     parser.add_argument("--seed", type=int, default=321)
+    parser.add_argument("--platform", default="auto", choices=["cpu", "auto"],
+                        help="force JAX to CPU (a sitecustomize pins "
+                        "JAX_PLATFORMS; use this when the TPU tunnel is "
+                        "down — 'auto' keeps the environment default)")
     args = parser.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
