@@ -95,10 +95,18 @@ def comprehensive_report(results_path: str, out_path: Path) -> None:
                  f"({rife['vfi_psnr_db']:.2f} vs {base:.2f} dB) — the "
                  "reference measured +3.52 dB on captured footage.")
     if blend and flow:
-        L.append(f"2. **Linear blending beats optical flow** by "
-                 f"{blend['vfi_psnr_db'] - flow['vfi_psnr_db']:+.2f} dB "
-                 f"({blend['vfi_psnr_db']:.2f} vs {flow['vfi_psnr_db']:.2f}),"
-                 " reproducing the reference's counterintuitive finding.")
+        d = blend["vfi_psnr_db"] - flow["vfi_psnr_db"]
+        if d >= 0:
+            L.append(f"2. **Linear blending beats optical flow** by "
+                     f"{d:+.2f} dB ({blend['vfi_psnr_db']:.2f} vs "
+                     f"{flow['vfi_psnr_db']:.2f}), reproducing the "
+                     "reference's counterintuitive finding.")
+        else:
+            L.append(f"2. **Optical flow beats linear blending** by "
+                     f"{-d:+.2f} dB ({flow['vfi_psnr_db']:.2f} vs "
+                     f"{blend['vfi_psnr_db']:.2f}) on this content — the "
+                     "reference found the opposite on its captured footage "
+                     "(its blend won; ordering is content-dependent).")
     mcar = agg.get("mcar_default", {})
     if mcar:
         L.append(f"3. MCAR routes {mcar.get('rife_frames_pct', 0):.0f}% of "
