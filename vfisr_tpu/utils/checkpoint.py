@@ -38,9 +38,14 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> dict:
 
 
 def save_params(path: str, params: Any) -> None:
-    """Save a pytree of arrays as flat .npz."""
+    """Save a pytree of arrays as flat .npz (atomic tmp-replace: training
+    jobs are stopped by hard timeouts, which must never be able to leave a
+    truncated checkpoint behind)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **_flatten(params))
+    tmp = f"{path}.tmp"
+    np.savez(tmp, **_flatten(params))
+    # np.savez appends .npz to paths without the suffix
+    os.replace(tmp if os.path.exists(tmp) else f"{tmp}.npz", path)
 
 
 def load_params(path: str, like: Any = None) -> dict:
