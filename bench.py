@@ -15,11 +15,9 @@ Deployment config (each dial quantified on held-out scenes, docs/PARITY.md):
   t=0.5, other timesteps from linearly rescaled flows + t-shifted fusion
   mask — measured BETTER than per-t trunk passes (34.10 vs 33.66 dB
   held-out midpoint PSNR) at ~30% less compute.
-
-Pairs the router routes to VFIMamba re-run through the heavy expert in the
-hosted pipeline (models/novel/adaptive_pipeline.py per-pair bucketing); the
-reference's measured mix is 97% RIFE (COMPREHENSIVE_REPORT.md:58), so the
-RIFE-expert path is the throughput that matters.
+- trained ``weights/rife.npz`` loaded when present, so the measured
+  program is byte-identical to the shipped model (FLOP-identical either
+  way; fresh init is only the no-weights fallback).
 
 Timing methodology: this environment tunnels the TPU behind an async PJRT
 proxy where ``block_until_ready`` returns immediately and a synchronous
@@ -27,6 +25,14 @@ readback costs ~30 ms. The pipeline is therefore iterated K times *inside*
 one jitted ``fori_loop`` (iterations data-dependent, so they serialize),
 and per-step time is the marginal (T_K2 - T_K1)/(K2 - K1) between two loop
 lengths — host/tunnel latency cancels.
+
+Driver-proofing: the TPU tunnel in this environment can go down (backend
+init raises, or ``jax.devices()`` hangs). The parent process therefore
+(1) probes the backend in a short-timeout subprocess, (2) runs the actual
+measurement in a bounded-timeout child subprocess with retries/backoff,
+and (3) if the tunnel is truly unavailable, emits the last recorded
+measurement from ``outputs/bench_latest.json`` tagged ``"stale": true``
+instead of a traceback — the driver always gets one parseable JSON line.
 
 Baseline: the reference's measured rife_default run produces 147 pairs × 3
 midpoints = 441 interpolated frames in 70.1 s on an RTX 3090
@@ -40,15 +46,29 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
 BASELINE_INTERP_FPS = 441.0 / 70.1  # reference rife_default, RTX 3090
+METRIC = "adaptive_vfi_interpolated_fps_1080p_to_1440p_single_chip"
+LATEST = Path(__file__).resolve().parent / "outputs" / "bench_latest.json"
+
+# Bounded orchestration budget. First flagship compile through the remote
+# endpoint takes minutes; warm (cached) runs take ~1-2. Keep the total under
+# ~35 min so a dead tunnel still yields the stale record promptly.
+PROBE_TIMEOUT_S = float(os.environ.get("VFISR_BENCH_PROBE_TIMEOUT", 180))
+CHILD_TIMEOUT_S = float(os.environ.get("VFISR_BENCH_CHILD_TIMEOUT", 1500))
+TOTAL_BUDGET_S = float(os.environ.get("VFISR_BENCH_TOTAL_BUDGET", 2100))
+MAX_ATTEMPTS = int(os.environ.get("VFISR_BENCH_MAX_ATTEMPTS", 3))
 
 
-def main():
+def measure() -> dict:
+    """Run the actual on-chip measurement. Raises on backend failure."""
     import jax
     import jax.numpy as jnp
 
@@ -73,6 +93,11 @@ def main():
         jnp.zeros((1, 64, 64, 3)),
         jnp.asarray([0.5]),
     )["params"]
+    weights_path = Path(__file__).resolve().parent / "weights" / "rife.npz"
+    if weights_path.exists():
+        from vfisr_tpu.utils.checkpoint import load_params
+
+        params = load_params(str(weights_path), params)
     fcfg = FlagshipConfig(shared_flow=True)
     step = make_flagship_step(module, params, fcfg)
     t_count = len(fcfg.timestamps)
@@ -120,21 +145,117 @@ def main():
     per_step = (t2 - t1) / (k2 - k1)
     interp_fps = t_count * PAIRS / per_step if per_step > 0 else float("inf")
 
-    record = {
-        "metric": "adaptive_vfi_interpolated_fps_1080p_to_1440p_single_chip",
+    return {
+        "metric": METRIC,
         "value": round(interp_fps, 2),
         "unit": "fps",
         "vs_baseline": round(interp_fps / BASELINE_INTERP_FPS, 2),
     }
+
+
+def _child_main() -> int:
+    record = measure()
     print(json.dumps(record))
-    # Keep a local record so compare_baseline.py can cite the newest
-    # measurement between driver rounds.
     try:
-        Path("outputs").mkdir(exist_ok=True)
-        Path("outputs/bench_latest.json").write_text(json.dumps(record))
+        LATEST.parent.mkdir(exist_ok=True)
+        LATEST.write_text(json.dumps(record))
     except OSError:
         pass
+    return 0
+
+
+def _parse_record(stdout: str) -> dict | None:
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(rec, dict) and "metric" in rec and "value" in rec:
+            return rec
+    return None
+
+
+def _emit_stale(reason: str) -> int:
+    try:
+        rec = json.loads(LATEST.read_text())
+    except (OSError, json.JSONDecodeError):
+        rec = {
+            "metric": METRIC,
+            "value": 0.0,
+            "unit": "fps",
+            "vs_baseline": 0.0,
+        }
+    rec["stale"] = True
+    rec["stale_reason"] = reason
+    print(json.dumps(rec))
+    return 0
+
+
+def _probe_backend() -> bool:
+    """Quick subprocess check that the device backend initializes at all."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=PROBE_TIMEOUT_S,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _orchestrate() -> int:
+    deadline = time.time() + TOTAL_BUDGET_S
+    last_reason = "unknown"
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        if time.time() >= deadline:
+            last_reason = "orchestration budget exhausted"
+            break
+        if not _probe_backend():
+            last_reason = "backend probe failed (tunnel down or hung)"
+            print(
+                f"bench.py: attempt {attempt}: {last_reason}", file=sys.stderr
+            )
+            time.sleep(min(30 * attempt, max(0, deadline - time.time())))
+            continue
+        env = dict(os.environ, VFISR_BENCH_CHILD="1")
+        budget = min(CHILD_TIMEOUT_S, max(60, deadline - time.time()))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                timeout=budget,
+                capture_output=True,
+                text=True,
+                env=env,
+            )
+        except subprocess.TimeoutExpired:
+            last_reason = f"measurement timed out after {budget:.0f}s"
+            print(
+                f"bench.py: attempt {attempt}: {last_reason}", file=sys.stderr
+            )
+            continue
+        rec = _parse_record(proc.stdout)
+        if proc.returncode == 0 and rec is not None:
+            print(json.dumps(rec))
+            return 0
+        tail = "\n".join(proc.stderr.strip().splitlines()[-8:])
+        last_reason = f"child rc={proc.returncode}"
+        print(
+            f"bench.py: attempt {attempt}: {last_reason}\n{tail}",
+            file=sys.stderr,
+        )
+        time.sleep(min(30 * attempt, max(0, deadline - time.time())))
+    return _emit_stale(last_reason)
+
+
+def main() -> int:
+    if os.environ.get("VFISR_BENCH_CHILD") == "1":
+        return _child_main()
+    return _orchestrate()
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
