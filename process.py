@@ -37,7 +37,16 @@ def main():
     parser.add_argument("--target-resolution", default="1440p",
                         help="1080p | 1440p | 4k | WxH")
     parser.add_argument("--max-frames", type=int, default=0, help="Cap input frames (0=all)")
+    parser.add_argument("--platform", default="auto", choices=["auto", "cpu"],
+                        help="force JAX to CPU (a sitecustomize pins "
+                        "JAX_PLATFORMS, so an env var cannot; use when the "
+                        "TPU tunnel is down or for host smoke runs)")
     args = parser.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from vfisr_tpu.pipeline.streaming import process_video
 

@@ -42,6 +42,10 @@ def main():
         "--final-radius", default=None,
         help="rife models: final fusion warp radius 'ry,rx'")
     parser.add_argument(
+        "--detail", type=float, default=0.35,
+        help="high-frequency structure weight in on-device synthetic "
+        "scenes (0 = legacy smooth scenes)")
+    parser.add_argument(
         "--data-source", default="auto",
         choices=["auto", "device", "host"],
         help="synthetic-scene generator: 'device' builds batches on-chip "
@@ -138,9 +142,20 @@ def main():
 
         def device_batch(step):
             gen_crop = 2 * args.crop if is_joint else args.crop
-            b = device_synthetic_batch(
-                jax.random.fold_in(gen_key, step), args.batch, gen_crop
-            )
+            if is_sr:
+                # crisp unwarped scenes: the VFI generator's subpixel warp
+                # low-passes away the aliased detail SR must learn from
+                from vfisr_tpu.train.device_data import device_sr_batch
+
+                b = device_sr_batch(
+                    jax.random.fold_in(gen_key, step), args.batch, gen_crop,
+                    detail=max(args.detail, 0.5),
+                )
+            else:
+                b = device_synthetic_batch(
+                    jax.random.fold_in(gen_key, step), args.batch, gen_crop,
+                    detail=args.detail,
+                )
             if is_sr:
                 from vfisr_tpu.core.resize import resize
 

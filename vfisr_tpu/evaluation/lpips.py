@@ -77,6 +77,17 @@ class LPIPS:
         else:
             self.params = _init_params(seed)
             self.mode = "random_features"
+            # Calibrated heads (evaluation/lpips_calibrate.py): learned on
+            # synthetic ranked distortions + PSNR/SSIM-consensus pairs —
+            # the in-env substitute for the official 2AFC-trained heads.
+            heads = os.path.join(os.path.dirname(DEFAULT_WEIGHTS_PATH),
+                                 "lpips_heads.npz")
+            if os.path.exists(heads):
+                hd = np.load(heads)
+                for k in hd.files:
+                    if k.startswith("lin"):
+                        self.params[k] = hd[k]
+                self.mode = "calibrated_heads"
         self._jit_fn = jax.jit(self._distance)
 
     # ---- computation graph ----

@@ -140,6 +140,13 @@ def _chained_runner(fn: Callable, args: tuple) -> Callable[[int], Callable]:
     return make
 
 
+# Marginal-time floor (ms). Host scheduling noise can make the subtraction
+# (T_k2 - T_k1) momentarily nonpositive on a loaded machine; samples are
+# retried and, as a last resort, clamped here so downstream throughput math
+# never divides by <= 0.
+_MIN_MARGINAL_MS = 1e-6
+
+
 def measure(
     fn: Callable,
     *args,
@@ -147,6 +154,7 @@ def measure(
     warmup: int = 5,
     frames_per_call: int = 1,
     reps: int = 5,
+    timer: Callable[[], float] = time.perf_counter,
 ) -> SpeedStats:
     """Time one call of ``fn(*args)`` on device; returns SpeedStats.
 
@@ -154,6 +162,10 @@ def measure(
     ``(T(iterations) - T(k1)) / (iterations - k1)`` with both loop lengths
     jit-compiled, sampled ``reps`` times (warmup runs both compiles first).
     Falls back to wall-clock + forced readback if ``fn`` is not traceable.
+
+    ``timer`` is injectable (a monotonic-seconds callable) so tests can
+    assert on the aggregation deterministically instead of racing the real
+    clock under host load.
     """
     iterations = max(int(iterations), 4)
     try:
@@ -163,14 +175,23 @@ def measure(
         for _ in range(max(warmup, 1)):  # absorbs both compiles
             np.asarray(run_k1())
             np.asarray(run_k2())
+
+        def one_sample() -> float:
+            t0 = timer()
+            np.asarray(run_k1())
+            t1 = timer()
+            np.asarray(run_k2())
+            t2 = timer()
+            return ((t2 - t1) - (t1 - t0)) / (iterations - k1) * 1000.0
+
         samples = []
         for _ in range(max(reps, 2)):
-            t0 = time.perf_counter()
-            np.asarray(run_k1())
-            t1 = time.perf_counter()
-            np.asarray(run_k2())
-            t2 = time.perf_counter()
-            samples.append(((t2 - t1) - (t1 - t0)) / (iterations - k1) * 1000.0)
+            s = one_sample()
+            retries = 0
+            while s <= 0.0 and retries < 3:  # host-noise casualty: resample
+                s = one_sample()
+                retries += 1
+            samples.append(max(s, _MIN_MARGINAL_MS))
         return _stats(samples, frames_per_call, iterations, warmup,
                       "device_marginal")
     except Exception:  # noqa: BLE001 — host code inside fn, etc.
@@ -178,8 +199,8 @@ def measure(
             _readback(fn(*args))
         samples = []
         for _ in range(iterations):
-            t0 = time.perf_counter()
+            t0 = timer()
             _readback(fn(*args))
-            samples.append((time.perf_counter() - t0) * 1000.0)
+            samples.append(max((timer() - t0) * 1000.0, _MIN_MARGINAL_MS))
         return _stats(samples, frames_per_call, iterations, warmup,
                       "host_wall_clock")

@@ -366,8 +366,16 @@ class AdaptivePipeline(BaseModel):
         if self.enable_vfimamba:
             try:
                 from vfisr_tpu.models.sota.vfimamba import VFIMambaModel
+                from vfisr_tpu.utils.paths import default_weights
 
-                self._vfimamba = VFIMambaModel(device=self.device)
+                # The heavy expert gets the HARDEST pairs (particles,
+                # motion>25px) — never hand those to a fresh-init net
+                # (≈ linear blend). Prefer the full variant only when its
+                # trained checkpoint exists, else the trained S variant.
+                variant = "full" if default_weights("vfimamba") else (
+                    "s" if default_weights("vfimamba_s") else "full")
+                self._vfimamba = VFIMambaModel(variant=variant,
+                                               device=self.device)
                 self._vfimamba.load()
             except Exception as e:  # degrade gracefully (reference :353-361)
                 print(f"Warning: Could not load VFIMamba: {e}")
@@ -401,25 +409,37 @@ class AdaptivePipeline(BaseModel):
         # runs on its own sub-batch, so a batch's cost is the mix-weighted
         # expert cost (reference routes per pair, adaptive_pipeline.py:
         # 265-286; scene-cut pairs skip interpolation entirely, :388).
+        # Sub-batches are CONTIGUOUS RUNS extracted with static lax slices
+        # and reassembled with one concatenate: TPU gather is serial
+        # (~50 ms/Mpx) and advanced-indexing gather/scatter on full-res
+        # frame batches can crash the tunnel worker, so integer-array
+        # indexing is banned on this path.
         n = x0.shape[0]
         scene_np = np.asarray(masks["scene"])
         mamba_np = (np.asarray(masks["vfimamba"])
                     if self.enable_vfimamba
                     else np.zeros(n, bool))
-        rife_np = ~scene_np & ~mamba_np
-        idx_r = np.nonzero(rife_np)[0]
-        idx_m = np.nonzero(mamba_np & ~scene_np)[0]
         t = len(timestamps)
         h, w = x0.shape[1:3]
-        out = jnp.zeros((n, t, h, w, 3), x0.dtype)
-        if idx_r.size:
-            out = out.at[idx_r].set(
-                self._rife.interpolate_batch(x0[idx_r], x1[idx_r], timestamps)
-            )
-        if idx_m.size:
-            out = out.at[idx_m].set(
-                self._vfimamba.interpolate_batch(x0[idx_m], x1[idx_m], timestamps)
-            )
+        # route codes: 0 = scene-cut (skip experts), 1 = rife, 2 = vfimamba
+        routes = np.where(scene_np, 0, np.where(mamba_np, 2, 1))
+        chunks = []
+        start = 0
+        for i in range(1, n + 1):
+            if i < n and routes[i] == routes[start]:
+                continue
+            a = jax.lax.slice_in_dim(x0, start, i, axis=0)
+            b = jax.lax.slice_in_dim(x1, start, i, axis=0)
+            r = int(routes[start])
+            if r == 1:
+                chunks.append(self._rife.interpolate_batch(a, b, timestamps))
+            elif r == 2:
+                chunks.append(
+                    self._vfimamba.interpolate_batch(a, b, timestamps))
+            else:  # scene-cut rows are replaced by _composite_outputs
+                chunks.append(jnp.zeros((i - start, t, h, w, 3), x0.dtype))
+            start = i
+        out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
         for i in range(n):
             if scene_np[i]:
                 self.stats.add("scene_change")

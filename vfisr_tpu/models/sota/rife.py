@@ -307,6 +307,16 @@ def shared_flow_apply(module: IFNet, params, x0: jnp.ndarray, x1: jnp.ndarray,
     ts = tuple(float(t) for t in timestamps)
     anchor_idx = min(range(len(ts)), key=lambda i: abs(ts[i] - 0.5))
     a = ts[anchor_idx]
+    if a <= 1e-3 or a >= 1.0 - 1e-3:
+        # Anchor at an endpoint (caller passed t≈0 or t≈1 only): the
+        # derived-flow rescale divides by a and (1−a) and would emit
+        # inf/NaN flows — fall back to exact per-timestep trunk passes.
+        outs_exact = [
+            module.apply({"params": params}, x0, x1,
+                         jnp.full((p,), t, x0.dtype))[0]
+            for t in ts
+        ]
+        return jnp.stack(outs_exact, axis=1).reshape(p * len(ts), h, w, 3)
     merged_a, flow, mask = module.apply(
         {"params": params}, x0, x1, jnp.full((p,), a, x0.dtype)
     )
@@ -396,9 +406,10 @@ class RIFEModel(BaseModel):
 
         auto = weights_path is None
         if auto:
-            default = f"weights/{'rife_lite' if 'Lite' in self.NAME else 'rife'}.npz"
-            if os.path.exists(default):
-                weights_path = default
+            from vfisr_tpu.utils.paths import default_weights
+
+            weights_path = default_weights(
+                "rife_lite" if "Lite" in self.NAME else "rife")
         module = IFNet(self.CONFIG)
         rng = jax.random.PRNGKey(self.seed)
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)

@@ -161,10 +161,10 @@ class SAFAModel(JointModel):
         return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(self.params)))
 
     def load(self, weights_path: Optional[str] = None) -> None:
-        import os
+        if weights_path is None:
+            from vfisr_tpu.utils.paths import default_weights
 
-        if weights_path is None and os.path.exists("weights/safa.npz"):
-            weights_path = "weights/safa.npz"
+            weights_path = default_weights("safa")
         module = SAFANet(feat_warp_clamp=self.feat_warp_clamp)
         rng = jax.random.PRNGKey(self.seed)
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)

@@ -108,10 +108,10 @@ class SPANModel(BaseModel):
         return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(self.params)))
 
     def load(self, weights_path: Optional[str] = None) -> None:
-        import os
+        if weights_path is None:
+            from vfisr_tpu.utils.paths import default_weights
 
-        if weights_path is None and os.path.exists(f"weights/span_x{self.scale}.npz"):
-            weights_path = f"weights/span_x{self.scale}.npz"
+            weights_path = default_weights(f"span_x{self.scale}")
         module = SPANNet(upscale=self.scale)
         rng = jax.random.PRNGKey(self.seed)
         variables = module.init(rng, jnp.zeros((1, 32, 32, 3), jnp.float32))

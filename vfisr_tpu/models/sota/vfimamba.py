@@ -240,17 +240,17 @@ class VFIMambaModel(BaseModel):
         return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(self.params)))
 
     def load(self, weights_path: Optional[str] = None) -> None:
-        import os
         import warnings
 
         if weights_path is None:
-            default = f"weights/vfimamba{'_s' if self.variant != 'full' else ''}.npz"
-            if os.path.exists(default):
-                weights_path = default
-            else:
+            from vfisr_tpu.utils.paths import default_weights
+
+            name = f"vfimamba{'_s' if self.variant != 'full' else ''}"
+            weights_path = default_weights(name)
+            if weights_path is None:
                 # zero-init heads make a fresh net ≈ linear blend, but say so
                 warnings.warn(
-                    f"{default} not found — VFIMamba[{self.variant}] runs "
+                    f"weights/{name}.npz not found — VFIMamba[{self.variant}] runs "
                     "with fresh-init parameters (≈ linear blend; train via "
                     "scripts/train.py)", stacklevel=2)
         module = VFIMambaNet(self.cfg)

@@ -136,19 +136,19 @@ def _warp_kernel(
             jnp.where((d >= -1.0) & (d < 0.0), 1.0, 0.0),
         )
 
-    # Gradient validity uses the half-open window [0, nsh-1): at the upper
-    # clamp boundary the forward's jnp.clip has zero derivative, so the
-    # flow gradient is zeroed exactly there (and only there) — unlike the
-    # forward's 1.001 clip margin, this doesn't swallow the top ~0.001
-    # sliver of legitimate in-window residuals.
+    # Gradient validity matches the forward's clip saturation EXACTLY:
+    # the forward clamps residuals to [0, nsh-1.001], so anywhere
+    # rx_raw/ry_raw falls at or past that bound the forward output is
+    # constant in the flow and the true derivative is zero — the VJP must
+    # report zero there too (VJP == d(forward), not d(ideal warp)).
     if weight_mode == "grad_x":
         vx = ((sx_raw >= xlo) & (sx_raw < xhi)
-              & (rx_raw >= 0.0) & (rx_raw < nsh_x - 1)).astype(jnp.float32)
+              & (rx_raw >= 0.0) & (rx_raw < nsh_x - 1.001)).astype(jnp.float32)
         wxs = [(dhat(rx - b) * vx).astype(cdt) for b in range(nsh_x)]
         wys = [hat(ry - a) for a in range(nsh_y)]
     elif weight_mode == "grad_y":
         vy = ((sy_raw >= ylo) & (sy_raw < yhi)
-              & (ry_raw >= 0.0) & (ry_raw < nsh_y - 1)).astype(jnp.float32)
+              & (ry_raw >= 0.0) & (ry_raw < nsh_y - 1.001)).astype(jnp.float32)
         wxs = [hat(rx - b).astype(cdt) for b in range(nsh_x)]
         wys = [dhat(ry - a) * vy for a in range(nsh_y)]
     else:

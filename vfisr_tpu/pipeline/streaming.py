@@ -63,6 +63,13 @@ def _decode_worker(reader: VideoReader, q: "queue.Queue", max_frames: int,
         # EOF sentinel must reach the consumer even if read() raises
         # (corrupt stream), or the main thread blocks forever on q.get()
         q.put(None)
+        # The worker OWNS the capture's release: cv2.VideoCapture is not
+        # thread-safe, and the main thread's join can time out while this
+        # thread is still blocked inside reader.read() — releasing from
+        # the main thread then races the in-flight read. Closing here (the
+        # sole reader-using thread) makes the release ordered-after the
+        # last read by construction.
+        reader.close()
 
 
 def process_video(
@@ -126,14 +133,16 @@ def process_video(
                               interpolation=cv2.INTER_LANCZOS4)
         return frame_u8
 
-    with VideoReader(input_path) as reader, VideoWriter(
+    reader = VideoReader(input_path)
+    decoder = None
+    with VideoWriter(
         output_path, target_w, target_h, target_fps
     ) as writer:
         decoder = threading.Thread(
             target=_decode_worker, args=(reader, q, max_frames, stop), daemon=True
         )
-        decoder.start()
         try:
+            decoder.start()
             tq = time.time()
             prev = q.get()
             decode_wait_s += time.time() - tq
@@ -194,7 +203,13 @@ def process_video(
                     q.get_nowait()
                 except queue.Empty:
                     break
-            decoder.join(timeout=10)
+            if decoder.ident is None:  # start() itself failed
+                reader.close()
+            else:
+                # worker releases the capture on its way out; a timed-out
+                # join just leaves the daemon thread (and the capture) to
+                # die with the process rather than racing its read()
+                decoder.join(timeout=10)
 
     elapsed = time.time() - t0
     overlapped = elapsed - decode_wait_s - encode_s

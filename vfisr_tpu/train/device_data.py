@@ -33,12 +33,21 @@ def _texture(key, n: int, size: int, coarse: int) -> jnp.ndarray:
     return jax.image.resize(base, (n, size, size, 3), "cubic")
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "crop"))
-def device_synthetic_batch(key, batch: int = 32, crop: int = 192) -> dict:
-    """Returns {img0, img1, gt, t} as DEVICE float32 arrays in [0, 1]."""
+@functools.partial(jax.jit, static_argnames=("batch", "crop", "detail"))
+def device_synthetic_batch(key, batch: int = 32, crop: int = 192,
+                           detail: float = 0.35) -> dict:
+    """Returns {img0, img1, gt, t} as DEVICE float32 arrays in [0, 1].
+
+    ``detail`` mixes HIGH-FREQUENCY structure into the world texture
+    (near-Nyquist checkers, thin grid lines, specular pixel noise) — the
+    content class real gameplay is full of and band-limited cubic-noise
+    textures lack entirely. Without it an SR net has nothing beyond a
+    fixed resampler to learn (round-2 finding: span_x2 tied Lanczos) and
+    blends never ghost. Set detail=0.0 for the legacy smooth scenes.
+    """
     c = crop
     n = batch
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 16)
 
     # multi-scale textures (mix of coarse and fine detail, random blend)
     wmix = jax.random.uniform(ks[8], (n, 1, 1, 1), minval=0.25, maxval=0.75)
@@ -50,6 +59,30 @@ def device_synthetic_batch(key, batch: int = 32, crop: int = 192) -> dict:
         wmix * _texture(ks[2], n, c, max(c // 12, 2))
         + (1 - wmix) * _texture(ks[3], n, c, max(c // 3, 4))
     )
+
+    if detail > 0.0:
+        cy = jax.lax.broadcasted_iota(jnp.float32, (1, 2 * c, 2 * c), 1)
+        cx = jax.lax.broadcasted_iota(jnp.float32, (1, 2 * c, 2 * c), 2)
+        dk = jax.random.split(ks[12], 6)
+        # near-Nyquist checker (random 2-4 px period), gated to patches
+        per = jax.random.randint(dk[0], (n, 1, 1), 2, 5).astype(jnp.float32)
+        checker = jnp.mod(jnp.floor(cy / per) + jnp.floor(cx / per), 2.0)
+        gate = (_texture(dk[1], n, 2 * c, max(2 * c // 24, 2))[..., 0]
+                > 0.72).astype(jnp.float32)
+        # thin grid lines (panel seams), random pitch
+        pitch = jax.random.randint(dk[2], (n, 1, 1), 24, 96).astype(jnp.float32)
+        lines = ((jnp.mod(cy, pitch) < 2.0) | (jnp.mod(cx, pitch) < 2.0)
+                 ).astype(jnp.float32)
+        # specular speckle: sparse bright pixels
+        speck = (jax.random.uniform(dk[3], (n, 2 * c, 2 * c)) > 0.985
+                 ).astype(jnp.float32)
+        amp = detail * jax.random.uniform(dk[4], (n, 1, 1, 1),
+                                          minval=0.5, maxval=1.0)
+        struct = jnp.clip(
+            0.8 * checker * gate + 0.6 * lines + 1.5 * speck, 0.0, 1.0
+        )[..., None]
+        tone = jax.random.uniform(dk[5], (n, 1, 1, 3), minval=0.2, maxval=1.0)
+        canvas = canvas * (1.0 - amp * struct) + tone * (amp * struct)
 
     # soft-edged foreground disc (random centre/radius)
     yy = jax.lax.broadcasted_iota(jnp.float32, (1, c, c), 1)
@@ -112,3 +145,54 @@ def device_synthetic_batch(key, batch: int = 32, crop: int = 192) -> dict:
         "img1": frames[2 * n :],
         "t": t,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "size", "detail"))
+def device_sr_batch(key, batch: int = 32, size: int = 192,
+                    detail: float = 0.6) -> dict:
+    """Crisp HR scenes for SR training: {"gt": [N,size,size,3]}.
+
+    The VFI generator renders frames through a subpixel bilinear warp,
+    which low-passes near-Nyquist content to almost nothing (measured:
+    >0.25 cyc/px energy fraction ~0.007 regardless of the detail dial) —
+    an SR net trained on its outputs has no aliased detail to learn and
+    collapses to a fixed resampler (round-2 finding: span_x2 == Lanczos).
+    SR needs no motion, so this composites the structure UNWARPED: pixel
+    checkers, panel seams, hard-edged boxes and speckle survive at full
+    contrast; the caller area-downsamples for the LR input.
+    """
+    n, c = batch, size
+    ks = jax.random.split(key, 10)
+    wmix = jax.random.uniform(ks[0], (n, 1, 1, 1), minval=0.25, maxval=0.75)
+    canvas = (
+        wmix * _texture(ks[1], n, c, max(c // 16, 2))
+        + (1 - wmix) * _texture(ks[2], n, c, max(c // 4, 4))
+    )
+    cy = jax.lax.broadcasted_iota(jnp.float32, (1, c, c), 1)
+    cx = jax.lax.broadcasted_iota(jnp.float32, (1, c, c), 2)
+
+    # hard-edged panels (random boxes with flat colors, crisp borders)
+    boxes = jax.random.uniform(ks[3], (n, 6, 4))  # y0,x0,h,w fractions
+    cols = jax.random.uniform(ks[4], (n, 6, 3), minval=0.1, maxval=1.0)
+    for k in range(6):
+        y0 = boxes[:, k, 0, None, None] * c * 0.8
+        x0 = boxes[:, k, 1, None, None] * c * 0.8
+        bh = 8.0 + boxes[:, k, 2, None, None] * c * 0.25
+        bw = 8.0 + boxes[:, k, 3, None, None] * c * 0.25
+        inb = ((cy >= y0) & (cy < y0 + bh) & (cx >= x0) & (cx < x0 + bw)
+               ).astype(jnp.float32)[..., None]
+        canvas = canvas * (1 - 0.9 * inb) + cols[:, k, None, None] * 0.9 * inb
+
+    per = jax.random.randint(ks[5], (n, 1, 1), 2, 5).astype(jnp.float32)
+    checker = jnp.mod(jnp.floor(cy / per) + jnp.floor(cx / per), 2.0)
+    gate = (_texture(ks[6], n, c, max(c // 24, 2))[..., 0] > 0.7
+            ).astype(jnp.float32)
+    pitch = jax.random.randint(ks[7], (n, 1, 1), 16, 64).astype(jnp.float32)
+    lines = ((jnp.mod(cy, pitch) < 1.0) | (jnp.mod(cx, pitch) < 1.0)
+             ).astype(jnp.float32)
+    speck = (jax.random.uniform(ks[8], (n, c, c)) > 0.99).astype(jnp.float32)
+    struct = jnp.clip(checker * gate + 0.7 * lines + 1.5 * speck, 0.0, 1.0
+                      )[..., None]
+    tone = jax.random.uniform(ks[9], (n, 1, 1, 3), minval=0.1, maxval=1.0)
+    canvas = canvas * (1.0 - detail * struct) + tone * (detail * struct)
+    return {"gt": jnp.clip(canvas, 0.0, 1.0)}

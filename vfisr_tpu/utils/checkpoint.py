@@ -42,10 +42,15 @@ def save_params(path: str, params: Any) -> None:
     jobs are stopped by hard timeouts, which must never be able to leave a
     truncated checkpoint behind)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    tmp = f"{path}.tmp"
+    # Deterministic tmp name ending in .npz so np.savez never appends a
+    # suffix — a stale '<path>.tmp' from an older interrupted run can then
+    # never be preferred over the freshly written file.
+    tmp = f"{path}.tmp.npz"
+    for stale in (f"{path}.tmp", tmp):
+        if os.path.exists(stale):
+            os.remove(stale)
     np.savez(tmp, **_flatten(params))
-    # np.savez appends .npz to paths without the suffix
-    os.replace(tmp if os.path.exists(tmp) else f"{tmp}.npz", path)
+    os.replace(tmp, path)
 
 
 def load_params(path: str, like: Any = None) -> dict:
