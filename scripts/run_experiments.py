@@ -19,12 +19,17 @@ def main():
     parser.add_argument("--intervals", default="0",
                         help="Comma-separated interval indices (default: 0)")
     parser.add_argument("--experiment", default=None,
-                        help="Single experiment name (default: all light)")
+                        help="Experiment name(s), comma-separated "
+                        "(default: all light)")
     parser.add_argument("--heavy", action="store_true", help="Include heavy (RIFE) experiments")
     parser.add_argument("--quality-test", action="store_true",
                         help="Run core experiments across all quality levels")
     parser.add_argument("--resume", action="store_true",
                         help="Skip (name, interval) pairs already in the checkpoint")
+    parser.add_argument("--replace", action="store_true",
+                        help="Re-run exactly the selected (experiment, "
+                        "interval) rows in place, keeping all other "
+                        "checkpoint rows (targeted refresh)")
     parser.add_argument("--write-videos", action="store_true", help="Write output videos")
     parser.add_argument("--max-frames", type=int, default=None,
                         help="Cap keyframes per interval (quick tests)")
@@ -55,10 +60,12 @@ def main():
     if args.quality_test:
         experiments = generate_quality_experiments(CORE_LIGHT + (CORE_HEAVY if args.heavy else []))
     elif args.experiment:
-        experiments = [e for e in EXPERIMENTS if e["name"] == args.experiment]
-        if not experiments:
+        names = [n.strip() for n in args.experiment.split(",") if n.strip()]
+        experiments = [e for e in EXPERIMENTS if e["name"] in names]
+        missing = set(names) - {e["name"] for e in experiments}
+        if missing:
             raise SystemExit(
-                f"Unknown experiment {args.experiment!r}; "
+                f"Unknown experiment(s) {sorted(missing)}; "
                 f"known: {', '.join(e['name'] for e in EXPERIMENTS)}"
             )
     else:
@@ -101,6 +108,7 @@ def main():
         data_dir=args.data_dir,
         output_dir=args.output_dir,
         resume=args.resume,
+        replace=args.replace,
         write_videos=args.write_videos,
         max_frames=args.max_frames,
         use_lpips=not args.no_lpips,

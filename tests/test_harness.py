@@ -84,3 +84,23 @@ def test_checkpoint_resume(tmp_path):
     assert ck2.completed_keys() == {("a", 0), ("b", 1)}
     data = json.loads(path.read_text())
     assert len(data["experiments"]) == 2
+
+
+def test_drop_rows_targeted_refresh():
+    # --replace semantics: only the selected (name, interval) cells fall
+    # out; every other row survives (round-3 stale-row refresh path)
+    from vfisr_tpu.harness.experiments import drop_rows
+
+    rows = [
+        {"name": "optical_flow_basic", "interval_idx": 0},
+        {"name": "optical_flow_basic", "interval_idx": 1},
+        {"name": "uafi_default", "interval_idx": 0},
+        {"name": "rife_default", "interval_idx": 0},
+        {"name": "control"},  # legacy row without interval_idx -> 0
+    ]
+    kept = drop_rows(rows, ["optical_flow_basic", "uafi_default"], [0])
+    assert {(r["name"], r.get("interval_idx", 0)) for r in kept} == {
+        ("optical_flow_basic", 1),
+        ("rife_default", 0),
+        ("control", 0),
+    }

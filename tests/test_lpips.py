@@ -23,9 +23,29 @@ def _smooth_frame(rng, h=96, w=128):
 
 
 class TestMode:
-    def test_random_features_mode_reported_without_weights(self, tmp_path):
-        lp = LPIPS(weights_path=str(tmp_path / "missing.npz"))
+    def test_random_features_mode_reported_without_weights(
+        self, tmp_path, monkeypatch
+    ):
+        # with neither official weights nor calibrated heads on disk the
+        # mode must say so (never silently conflated with real LPIPS)
+        import vfisr_tpu.evaluation.lpips as lpips_mod
+
+        monkeypatch.setattr(lpips_mod, "DEFAULT_WEIGHTS_PATH",
+                            str(tmp_path / "lpips_alex.npz"))
+        lp = LPIPS()
         assert lp.mode == "random_features"
+
+    def test_calibrated_heads_mode_when_shipped(self, tmp_path):
+        # the shipped lpips_heads.npz upgrades missing-official-weights
+        # runs to calibrated_heads mode
+        from vfisr_tpu.utils.paths import REPO_ROOT
+
+        if not (REPO_ROOT / "weights" / "lpips_heads.npz").exists():
+            import pytest
+
+            pytest.skip("no calibrated heads shipped")
+        lp = LPIPS(weights_path=str(tmp_path / "missing.npz"))
+        assert lp.mode == "calibrated_heads"
 
     def test_sweep_results_carry_lpips_mode(self):
         # the per-experiment result dict must identify the LPIPS flavor

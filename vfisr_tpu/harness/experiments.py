@@ -488,6 +488,12 @@ class ExperimentCheckpoint:
             for e in self.data.get("experiments", [])
         }
 
+
+def drop_rows(rows: List[dict], names: List[str], intervals: List[int]) -> List[dict]:
+    """Remove rows matching (name in names) x (interval in intervals)."""
+    sel = {(n, i) for n in names for i in intervals}
+    return [r for r in rows if (r["name"], r.get("interval_idx", 0)) not in sel]
+
     def append(self, result: dict):
         self.data["experiments"].append(result)
         self.save()
@@ -507,6 +513,7 @@ def run_experiment_sweep(
     data_dir: str = "data",
     output_dir: str = "outputs",
     resume: bool = False,
+    replace: bool = False,
     write_videos: bool = False,
     max_frames: Optional[int] = None,
     use_lpips: bool = True,
@@ -523,9 +530,20 @@ def run_experiment_sweep(
     out_dir = Path(output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     checkpoint = ExperimentCheckpoint(out_dir / "experiment_results.json")
-    if not resume:
+    if replace:
+        # re-run exactly the selected (experiment, interval) rows in place,
+        # keeping every other row — the targeted-refresh mode (e.g. rows
+        # invalidated by a later code fix)
+        checkpoint.data["experiments"] = drop_rows(
+            checkpoint.data["experiments"],
+            [e["name"] for e in experiments], intervals)
+        checkpoint.save()
+        done = checkpoint.completed_keys()
+    elif not resume:
         checkpoint.data = {"experiments": [], "created": time.strftime("%Y-%m-%d %H:%M:%S")}
-    done = checkpoint.completed_keys() if resume else set()
+        done = set()
+    else:
+        done = checkpoint.completed_keys()
     shutdown = GracefulShutdown()
     shutdown.install()
 
