@@ -488,12 +488,6 @@ class ExperimentCheckpoint:
             for e in self.data.get("experiments", [])
         }
 
-
-def drop_rows(rows: List[dict], names: List[str], intervals: List[int]) -> List[dict]:
-    """Remove rows matching (name in names) x (interval in intervals)."""
-    sel = {(n, i) for n in names for i in intervals}
-    return [r for r in rows if (r["name"], r.get("interval_idx", 0)) not in sel]
-
     def append(self, result: dict):
         self.data["experiments"].append(result)
         self.save()
@@ -504,6 +498,12 @@ def drop_rows(rows: List[dict], names: List[str], intervals: List[int]) -> List[
         with open(tmp, "w") as f:
             json.dump(self.data, f, indent=2)
         tmp.replace(self.path)
+
+
+def drop_rows(rows: List[dict], names: List[str], intervals: List[int]) -> List[dict]:
+    """Remove rows matching (name in names) x (interval in intervals)."""
+    sel = {(n, i) for n in names for i in intervals}
+    return [r for r in rows if (r["name"], r.get("interval_idx", 0)) not in sel]
 
 
 def run_experiment_sweep(
