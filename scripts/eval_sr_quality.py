@@ -22,6 +22,16 @@ def main():
     parser.add_argument("--samples", type=int, default=12)
     parser.add_argument("--crop", type=int, default=256)
     parser.add_argument("--seed", type=int, default=321)
+    parser.add_argument(
+        "--scene", default="smooth", choices=["smooth", "detail"],
+        help="held-out scene family: 'smooth' = host synthetic_batch VFI "
+        "scenes (bilinear-warped, little aliased energy — classical "
+        "resamplers are near-optimal there); 'detail' = unwarped "
+        "device_sr_batch scenes (pixel checkers, panel seams, speckle) "
+        "where x2 area decimation actually destroys information")
+    parser.add_argument(
+        "--detail", type=float, default=0.6,
+        help="structure weight for --scene detail")
     parser.add_argument("--platform", default="auto", choices=["cpu", "auto"],
                         help="force JAX to CPU (a sitecustomize pins "
                         "JAX_PLATFORMS; use this when the TPU tunnel is "
@@ -43,10 +53,24 @@ def main():
     from vfisr_tpu.models.registry import get_model
     from vfisr_tpu.train.data import synthetic_batch
 
-    rng = np.random.default_rng(args.seed)
-    batch = synthetic_batch(rng, args.samples, args.crop)
-    hr = (batch["gt"] * 255).astype(np.uint8)
+    if args.scene == "detail":
+        import jax
 
+        from vfisr_tpu.train.device_data import device_sr_batch
+
+        batch = device_sr_batch(
+            jax.random.PRNGKey(args.seed), args.samples, args.crop,
+            detail=args.detail,
+        )
+        hr = np.asarray(
+            np.clip(np.asarray(batch["gt"]) * 255 + 0.5, 0, 255), np.uint8
+        )
+    else:
+        rng = np.random.default_rng(args.seed)
+        batch = synthetic_batch(rng, args.samples, args.crop)
+        hr = (batch["gt"] * 255).astype(np.uint8)
+
+    print(f"scene={args.scene}")
     print(f"{'model':<12}{'scale':>6}{'PSNR':>8}{'SSIM':>8}")
     print("-" * 34)
     for name in args.models.split(","):
