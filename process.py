@@ -37,6 +37,8 @@ def main():
     parser.add_argument("--target-resolution", default="1440p",
                         help="1080p | 1440p | 4k | WxH")
     parser.add_argument("--max-frames", type=int, default=0, help="Cap input frames (0=all)")
+    parser.add_argument("--stats-out", default=None,
+                        help="Write the run's stage stats dict as JSON here")
     parser.add_argument("--platform", default="auto", choices=["auto", "cpu"],
                         help="force JAX to CPU (a sitecustomize pins "
                         "JAX_PLATFORMS, so an env var cannot; use when the "
@@ -66,6 +68,11 @@ def main():
         target_resolution=target_res,
         max_frames=args.max_frames,
     )
+    if args.stats_out:
+        import json
+
+        Path(args.stats_out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.stats_out).write_text(json.dumps(stats, indent=2))
     print(
         f"Done: {stats['output_frames']} frames @ {stats['target_fps']}fps "
         f"{stats['target_resolution']} in {stats['elapsed_s']:.1f}s "
