@@ -109,3 +109,59 @@ class TestNormalization:
         path = _results(tmp_path)
         out = run(path, tmp_path)
         assert (tmp_path / "final_analysis.json").exists()
+
+
+class TestBaselineComparison:
+    """Concordance math of scripts/compare_baseline.py (round-3 rebuild)."""
+
+    def _load(self):
+        import importlib.util
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "compare_baseline",
+            Path(__file__).resolve().parent.parent / "scripts" / "compare_baseline.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_concordance_counts_and_discords(self):
+        mod = self._load()
+        # ours agrees with the reference ordering except it flips
+        # rife_default vs degraded (ref gap +3.52 -> discordant)
+        ours = {n: {"vfi_psnr": r["vfi_psnr"]} for n, r in mod.REFERENCE.items()}
+        conc, tot, discords, n_common = mod.concordance(ours)
+        assert n_common == len(mod.REFERENCE)
+        assert conc == tot and not discords  # identical ordering
+        ours["rife_default"]["vfi_psnr"] = ours["degraded"]["vfi_psnr"] - 1.0
+        conc2, tot2, discords2, _ = mod.concordance(ours)
+        assert tot2 == tot
+        assert conc2 < conc
+        flipped = {(a, b) for a, b, _, _ in discords2}
+        assert ("rife_default", "degraded") in flipped
+
+    def test_near_ties_excluded(self):
+        mod = self._load()
+        # adaptive_aggressive vs rife_default ref gap is 0.02 (<0.05):
+        # flipping it must not count as discordant
+        ours = {n: {"vfi_psnr": r["vfi_psnr"]} for n, r in mod.REFERENCE.items()}
+        ours["adaptive_aggressive"]["vfi_psnr"] = (
+            ours["rife_default"]["vfi_psnr"] - 0.01)
+        conc, tot, discords, _ = mod.concordance(ours)
+        assert conc == tot
+
+    def test_per_clip_sections(self, tmp_path):
+        mod = self._load()
+        rows = []
+        for clip, bump in (("synth_hard_001", 0.0), ("synth_001", 5.0)):
+            for name, ref in mod.REFERENCE.items():
+                rows.append({"name": name, "clip_id": clip, "interval_idx": 0,
+                             "vfi_psnr_db": ref["vfi_psnr"] + bump,
+                             "vfi_ssim": 0.9, "time_s": 10.0})
+        p = tmp_path / "res.json"
+        p.write_text(json.dumps({"experiments": rows}))
+        hard = mod.load_ours(str(p), "synth_hard_001")
+        smooth = mod.load_ours(str(p), "synth_001")
+        assert hard["degraded"]["vfi_psnr"] != smooth["degraded"]["vfi_psnr"]
+        assert mod.concordance(hard)[0] == mod.concordance(hard)[1]
