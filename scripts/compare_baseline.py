@@ -45,13 +45,29 @@ NOTES = Path("docs/concordance_notes.md")
 
 
 def load_ours(results_path: str, clip_id: str | None = None):
-    """Aggregate rows by method, optionally restricted to one clip."""
+    """Aggregate rows by method, optionally restricted to one clip.
+
+    Methods are averaged ONLY over the interval indices every compared
+    method has (their intersection): mixing a method averaged over easy
+    intervals with one averaged over easy+hard intervals makes orderings
+    meaningless (the round-2 comparison did exactly that — bicubic_blend
+    covered intervals 0,1 while rife_default also covered the hard
+    interval 2, so the blend "beat" RIFE purely by coverage)."""
     data = json.loads(Path(results_path).read_text())
+    rows = [e for e in data.get("experiments", [])
+            if clip_id is None or e.get("clip_id") == clip_id]
+    compared = [n for n in REFERENCE
+                if any(e["name"] == n for e in rows)]
+    common: set | None = None
+    for n in compared:
+        ivals = {e.get("interval_idx", 0) for e in rows if e["name"] == n}
+        common = ivals if common is None else (common & ivals)
     by_name = {}
-    for e in data.get("experiments", []):
-        if clip_id is not None and e.get("clip_id") != clip_id:
-            continue
+    for e in rows:
         name = e["name"]
+        if (name in REFERENCE and common is not None
+                and e.get("interval_idx", 0) not in common):
+            continue
         agg = by_name.setdefault(name, {"vfi_psnr": [], "vfi_ssim": [],
                                         "time_s": []})
         for src, dst in (("vfi_psnr_db", "vfi_psnr"), ("vfi_ssim", "vfi_ssim"),
@@ -59,10 +75,13 @@ def load_ours(results_path: str, clip_id: str | None = None):
             v = e.get(src)
             if isinstance(v, (int, float)):
                 agg[dst].append(v)
-    return {
+    out = {
         n: {k: (sum(v) / len(v) if v else None) for k, v in a.items()}
         for n, a in by_name.items()
     }
+    if common is not None:
+        out["_common_intervals"] = sorted(common)
+    return out
 
 
 def concordance(ours: dict):
@@ -88,6 +107,14 @@ def section(title: str, blurb: str, ours: dict) -> list[str]:
     lines = [f"## {title}", ""]
     if blurb:
         lines += [blurb, ""]
+    common = ours.get("_common_intervals")
+    if common is not None:
+        lines += [
+            f"Compared methods averaged over their common interval set "
+            f"{common} (rows on other intervals excluded to keep the "
+            f"ordering apples-to-apples).",
+            "",
+        ]
     lines += [
         "| method | ref VFI PSNR | ref Δ vs degraded | ours VFI PSNR | "
         "ours Δ vs degraded | ours time s |",
