@@ -168,3 +168,35 @@ class TestNeural:
         assert frames[0].shape == (int(96 * 1.333), int(128 * 1.333), 3)
         vfi_only = m.interpolate(f0, f1, num_frames=1)
         assert vfi_only[0].shape == f0.shape
+
+
+class TestRIFEScale:
+    """Reference Model.inference(..., scale=) knob (rife_wrapper.py:146)."""
+
+    def test_scale_variants_differ_and_share_params(self):
+        import numpy as np
+
+        from vfisr_tpu.models.sota.rife import RIFELiteModel
+
+        m = RIFELiteModel(device="cpu")
+        m.load()
+        rng = np.random.default_rng(0)
+        f0 = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        f1 = np.roll(f0, 3, axis=1)
+        full = m.interpolate(f0, f1, 1, [0.5], scale=1.0)[0]
+        half = m.interpolate(f0, f1, 1, [0.5], scale=0.5)[0]
+        assert full.shape == half.shape == f0.shape
+        assert full.dtype == half.dtype
+        # coarser pyramid -> different flow -> different output
+        assert np.abs(full.astype(int) - half.astype(int)).max() > 0
+        # variant cache: same params object, one cached program per scale
+        assert 0.5 in m._apply_variants
+        _, cfg = m._apply_variants[0.5]
+        assert cfg.scales == tuple(s * 2 for s in m.CONFIG.scales)
+
+    def test_harness_scale_translation(self):
+        from vfisr_tpu.harness.experiments import _rife_native_scale
+
+        assert _rife_native_scale(0.5) == 1.0   # reference default = trained point
+        assert _rife_native_scale(0.25) == 0.5  # fast mode: one level coarser
+        assert _rife_native_scale(1.0) == 1.0   # capped at full pyramid

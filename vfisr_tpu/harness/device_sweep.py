@@ -285,15 +285,21 @@ def _chunk_program(
     return metrics
 
 
-def _rife_chunk(prev_u8: jnp.ndarray, curr_u8: jnp.ndarray) -> jnp.ndarray:
-    """[K,oh,ow,3] uint8 x2 -> [K,3,oh,ow,3] float 0..255 RIFE midpoints."""
-    from vfisr_tpu.harness.experiments import _RIFESingleton
+def _rife_chunk(prev_u8: jnp.ndarray, curr_u8: jnp.ndarray,
+                scale: float = 0.5) -> jnp.ndarray:
+    """[K,oh,ow,3] uint8 x2 -> [K,3,oh,ow,3] float 0..255 RIFE midpoints.
+
+    ``scale`` is the reference's rife_scale (run_experiments.py:704:
+    default 0.5, rife_fast 0.25) — translated to the native model's
+    pyramid units (see experiments._rife_native_scale)."""
+    from vfisr_tpu.harness.experiments import _RIFESingleton, _rife_native_scale
 
     m = _RIFESingleton.get()
     out = m.interpolate_batch(
         prev_u8.astype(jnp.float32) / 255.0,
         curr_u8.astype(jnp.float32) / 255.0,
         (0.25, 0.5, 0.75),
+        scale=_rife_native_scale(scale),
     )  # [K, 3, oh, ow, 3] in [0,1]
     return out * 255.0
 
@@ -321,6 +327,7 @@ def run_experiment_batched(
     vfi = experiment.get("vfi", "linear_blend")
     sr_method = experiment.get("sr", "lanczos")
     edge = float(experiment.get("edge", 0))
+    rife_scale = float(experiment.get("rife_scale", 0.5))
     motion_thresh = float(experiment.get("motion_thresh", 3.0))
     mcar_low = float(experiment.get("mcar_low", 0.3))
     mcar_high = float(experiment.get("mcar_high", 0.7))
@@ -384,7 +391,7 @@ def run_experiment_batched(
                 up = resize(degraded, (out_h, out_w), interp)
                 if edge > 0:
                     up = _edge_enhance_core(up, edge)
-            rife_mids = _rife_chunk(up[:-1], up[1:])
+            rife_mids = _rife_chunk(up[:-1], up[1:], rife_scale)
 
         res = _chunk_program(
             src, ref, gt, rife_mids,

@@ -114,11 +114,27 @@ class _RIFESingleton:
         return cls._instance
 
 
+def _rife_native_scale(rife_scale: float) -> float:
+    """Reference rife_scale units -> native pyramid-scale units.
+
+    The reference's configs use Practical-RIFE units where 0.5 is the
+    recommended operating point at 1080p (run_experiments.py:704 default;
+    rife_fast = 0.25 runs one level coarser). The native IFNet is trained
+    at its full pyramid (scales 8,4,2,1), which IS that recommended
+    operating point — measured: forcing its pyramid a level coarser costs
+    ~6.7 dB held-out, nothing like the reference's small fast-mode delta.
+    So ref 0.5 -> native 1.0 (trained point) and ref 0.25 -> native 0.5
+    (one level coarser), preserving the fast<default mechanism."""
+    return min(float(rife_scale) * 2.0, 1.0)
+
+
 def _rife_interpolate(prev: np.ndarray, curr: np.ndarray, t: float, scale: float = 0.5):
     """Script-level RIFE call (run_experiments.py:365-386). Padding is
-    handled inside the native model (reflect, ×32)."""
+    handled inside the native model (reflect, ×32); ``scale`` runs the
+    flow pyramid coarser (reference rife_scale: 0.5 default, 0.25 fast)."""
     m = _RIFESingleton.get()
-    return m.interpolate(prev, curr, num_frames=1, timestamps=[t])[0]
+    return m.interpolate(prev, curr, num_frames=1, timestamps=[t],
+                         scale=_rife_native_scale(scale))[0]
 
 
 def _flow_half_res(prev_gray, curr_gray, out_w, out_h):

@@ -378,6 +378,7 @@ class RIFEModel(BaseModel):
             self.CONFIG = config  # instance override (e.g. warp-radius sweeps)
         self.params = None
         self._apply = None
+        self._apply_variants = {}  # rife-scale -> (apply_fn, cfg)
 
     @property
     def info(self) -> ModelInfo:
@@ -437,21 +438,73 @@ class RIFEModel(BaseModel):
             return module.apply({"params": params}, img0, img1, timestep)
 
         self._apply = apply_fn
+        self._apply_variants = {}
         self._loaded = True
 
+    def _apply_for_scale(self, scale: float):
+        """Reference ``Model.inference(..., scale=s)`` semantics
+        (rife_wrapper.py:146, run_experiments.py:365-386): s < 1 runs the
+        flow pyramid at coarser resolutions (Practical-RIFE's scale_list =
+        [level/s], the UHD trick — rife_default uses 0.5, rife_fast 0.25).
+        The IFBlocks are fully convolutional, so the SAME params serve
+        every scale; each scale is its own cached jitted program."""
+        if not scale or scale == 1.0:
+            return self._apply, self.CONFIG
+        key = round(float(scale), 4)
+        if key not in self._apply_variants:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                self.CONFIG,
+                scales=tuple(
+                    max(int(round(s / scale)), 1) for s in self.CONFIG.scales
+                ),
+            )
+            module = IFNet(cfg)
+
+            @jax.jit
+            def apply_fn(params, img0, img1, timestep):
+                return module.apply({"params": params}, img0, img1, timestep)
+
+            self._apply_variants[key] = (apply_fn, cfg)
+        return self._apply_variants[key]
+
     # ---- batched device core ----
-    def interpolate_batch(self, x0, x1, timestamps):
+    def interpolate_batch(self, x0, x1, timestamps, scale: float = 1.0):
+        apply_fn, cfg = self._apply_for_scale(scale)
+        pad = max(self.PAD_MULTIPLE, max(cfg.scales))
         n, h, w, _ = x0.shape
-        x0p, _ = pad_to_multiple(x0, self.PAD_MULTIPLE)
-        x1p, _ = pad_to_multiple(x1, self.PAD_MULTIPLE)
+        x0p, _ = pad_to_multiple(x0, pad)
+        x1p, _ = pad_to_multiple(x1, pad)
         t = len(timestamps)
         # fold timesteps into the batch: [N*T, H, W, 3] in one device call
         x0r = jnp.repeat(x0p, t, axis=0)
         x1r = jnp.repeat(x1p, t, axis=0)
         ts = jnp.tile(jnp.asarray(timestamps, x0.dtype), (n,))
-        merged, _, _ = self._apply(self.params, x0r, x1r, ts)
+        merged, _, _ = apply_fn(self.params, x0r, x1r, ts)
         merged = unpad(merged, h, w)
         return merged.reshape(n, t, h, w, 3)
+
+    def interpolate(
+        self,
+        frame0: np.ndarray,
+        frame1: np.ndarray,
+        num_frames: int = 3,
+        timestamps=None,
+        scale: float = 1.0,
+    ):
+        """Base adapter plus the reference's per-call ``scale`` knob."""
+        if timestamps is None:
+            timestamps = self.get_default_timestamps(num_frames)
+        if scale == 1.0 and self.uhd_mode:
+            scale = 0.5  # reference rife_wrapper.py:146 (UHD trick)
+        from vfisr_tpu.core.frames import from_batched, to_batched
+
+        out = self.interpolate_batch(
+            to_batched(frame0), to_batched(frame1), tuple(timestamps),
+            scale=scale,
+        )
+        return [from_batched(out[:, i]) for i in range(out.shape[1])]
 
     def upscale_batch(self, x, scale: float = 1.333):
         h, w = x.shape[-3:-1]
