@@ -9,7 +9,9 @@ they initialize), project directories. Exits non-zero on failure.
 
 from __future__ import annotations
 
+import argparse
 import importlib
+import subprocess
 import sys
 from pathlib import Path
 
@@ -36,6 +38,16 @@ def warn_check(label: str, fn):
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--platform", default="auto", choices=["auto", "cpu"],
+                        help="probe the CPU backend instead of the default "
+                        "device (use when the TPU tunnel is down)")
+    parser.add_argument("--probe-timeout", type=float, default=120.0,
+                        help="seconds before the device probe is declared "
+                        "hung (a dead tunnel makes jax.devices() block "
+                        "forever — the probe runs in a bounded subprocess)")
+    args = parser.parse_args()
+
     print("Verifying setup...\n")
 
     def py_version():
@@ -46,14 +58,30 @@ def main():
     check("Python >= 3.10", py_version)
 
     def jax_alloc():
-        import jax
-        import jax.numpy as jnp
-
-        dev = jax.devices()[0]
-        x = jnp.ones((256, 256))
-        val = float(jnp.sum(x))  # forces a real device allocation + compute
-        assert val == 256 * 256
-        return f"{dev.platform} ({getattr(dev, 'device_kind', '?')})"
+        # Bounded subprocess: with the axon tunnel down, jax.devices()
+        # hangs indefinitely (no timeout inside PJRT) — the reference's
+        # CUDA probe fails fast, ours must too.
+        force_cpu = ("jax.config.update('jax_platforms','cpu'); "
+                     if args.platform == "cpu" else "")
+        code = (
+            "import jax; " + force_cpu +
+            "import jax.numpy as jnp; d=jax.devices()[0]; "
+            "v=float(jnp.sum(jnp.ones((256,256)))); assert v==65536.0; "
+            "print(d.platform, getattr(d,'device_kind','?'))"
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=args.probe_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            raise RuntimeError(
+                f"device probe hung >{args.probe_timeout:.0f}s (TPU tunnel "
+                "down? retry with --platform cpu)")
+        if proc.returncode != 0:
+            raise RuntimeError(proc.stderr.strip().splitlines()[-1]
+                               if proc.stderr.strip() else "probe failed")
+        return proc.stdout.strip()
 
     check("JAX device allocation probe", jax_alloc)
 
