@@ -26,27 +26,52 @@ def probe_python() -> dict:
     }
 
 
-def probe_accelerator() -> dict:
-    info = {"platform": None, "devices": [], "hbm_gb": None, "error": None}
-    try:
-        import jax
+_ACCEL_PROBE = r"""
+import json
+info = {"platform": None, "devices": [], "hbm_gb": None, "error": None}
+try:
+    import jax
+    devs = jax.devices()
+    info["platform"] = devs[0].platform if devs else "none"
+    for d in devs:
+        entry = {"id": d.id, "kind": getattr(d, "device_kind", "unknown")}
+        try:
+            stats = d.memory_stats()
+            if stats and "bytes_limit" in stats:
+                entry["hbm_gb"] = round(stats["bytes_limit"] / 1e9, 1)
+                info["hbm_gb"] = entry["hbm_gb"]
+        except Exception:
+            pass
+        info["devices"].append(entry)
+    info["jax_version"] = jax.__version__
+except Exception as e:
+    info["error"] = str(e)
+print(json.dumps(info))
+"""
 
-        devs = jax.devices()
-        info["platform"] = devs[0].platform if devs else "none"
-        for d in devs:
-            entry = {"id": d.id, "kind": getattr(d, "device_kind", "unknown")}
-            try:
-                stats = d.memory_stats()
-                if stats and "bytes_limit" in stats:
-                    entry["hbm_gb"] = round(stats["bytes_limit"] / 1e9, 1)
-                    info["hbm_gb"] = entry["hbm_gb"]
-            except Exception:
-                pass
-            info["devices"].append(entry)
-        info["jax_version"] = jax.__version__
-    except Exception as e:
-        info["error"] = str(e)
-    return info
+
+def probe_accelerator(timeout_s: float = 120.0) -> dict:
+    """Device probe in a bounded subprocess: a dead TPU tunnel makes
+    jax.devices() block forever inside PJRT, and a system prober must
+    never hang (reference probe degrades gracefully without a GPU)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _ACCEL_PROBE],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        err = (proc.stderr.strip().splitlines() or ["no probe output"])[-1]
+        return {"platform": None, "devices": [], "hbm_gb": None, "error": err}
+    except subprocess.TimeoutExpired:
+        return {
+            "platform": None, "devices": [], "hbm_gb": None,
+            "error": f"device probe hung >{timeout_s:.0f}s "
+                     "(TPU tunnel down?)",
+        }
 
 
 def probe_dependencies() -> dict:
@@ -110,11 +135,13 @@ def compute_score(report: dict) -> tuple[int, list, list]:
 def main():
     parser = argparse.ArgumentParser(description="Probe system compatibility")
     parser.add_argument("--json", action="store_true", help="Emit JSON")
+    parser.add_argument("--probe-timeout", type=float, default=120.0,
+                        help="seconds before the device probe is declared hung")
     args = parser.parse_args()
 
     report = {
         "python": probe_python(),
-        "accelerator": probe_accelerator(),
+        "accelerator": probe_accelerator(args.probe_timeout),
         "dependencies": probe_dependencies(),
         "system": probe_system_resources(),
     }
