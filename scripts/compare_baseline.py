@@ -44,6 +44,30 @@ REF_INTERP_FPS = 6.29  # 441 frames / 70.1 s (rife_default)
 NOTES = Path("docs/concordance_notes.md")
 
 
+def merge_results(paths) -> dict:
+    """Merge experiment rows from several corpora into one dict.
+
+    Earlier paths win on duplicate (name, clip_id, interval_idx) keys;
+    later paths only fill gaps — so the on-chip corpus stays authoritative
+    and the CPU-fallback corpus (captured during TPU-tunnel outages; same
+    code path, parity-pinned kernels) only contributes rows the chip never
+    measured. Each row is tagged with its ``_source`` path.
+    """
+    merged, seen = [], set()
+    for p in paths:
+        try:
+            data = json.loads(Path(p).read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for e in data.get("experiments", []):
+            key = (e.get("name"), e.get("clip_id"), e.get("interval_idx", 0))
+            if key in seen:
+                continue
+            seen.add(key)
+            merged.append(dict(e, _source=str(p)))
+    return {"experiments": merged}
+
+
 def load_ours(results_path: str, clip_id: str | None = None):
     """Aggregate rows by method, optionally restricted to one clip.
 
@@ -53,7 +77,8 @@ def load_ours(results_path: str, clip_id: str | None = None):
     meaningless (the round-2 comparison did exactly that — bicubic_blend
     covered intervals 0,1 while rife_default also covered the hard
     interval 2, so the blend "beat" RIFE purely by coverage)."""
-    data = json.loads(Path(results_path).read_text())
+    data = (results_path if isinstance(results_path, dict)
+            else json.loads(Path(results_path).read_text()))
     rows = [e for e in data.get("experiments", [])
             if clip_id is None or e.get("clip_id") == clip_id]
     compared = [n for n in REFERENCE
@@ -81,6 +106,9 @@ def load_ours(results_path: str, clip_id: str | None = None):
     }
     if common is not None:
         out["_common_intervals"] = sorted(common)
+    sources = {e.get("_source") for e in rows if e.get("_source")}
+    if sources:
+        out["_sources"] = sorted(sources)
     return out
 
 
@@ -113,6 +141,14 @@ def section(title: str, blurb: str, ours: dict) -> list[str]:
             f"Compared methods averaged over their common interval set "
             f"{common} (rows on other intervals excluded to keep the "
             f"ordering apples-to-apples).",
+            "",
+        ]
+    if any("cpu_fallback" in s for s in ours.get("_sources", ())):
+        lines += [
+            "Some rows here come from `outputs/cpu_fallback/` — measured "
+            "on the CPU path during a TPU-tunnel outage (identical code; "
+            "the classical kernels are precision-pinned for parity, so "
+            "quality numbers are comparable while `time s` is not).",
             "",
         ]
     lines += [
@@ -152,23 +188,35 @@ def section(title: str, blurb: str, ours: dict) -> list[str]:
 
 
 def main():
-    results_path = sys.argv[1] if len(sys.argv) > 1 else "outputs/experiment_results.json"
+    results_paths = (sys.argv[1].split(",") if len(sys.argv) > 1 else
+                     ["outputs/experiment_results.json",
+                      "outputs/cpu_fallback/experiment_results.json"])
     out_path = Path(sys.argv[2] if len(sys.argv) > 2 else "docs/BASELINE_COMPARISON.md")
 
-    data = json.loads(Path(results_path).read_text())
+    data = merge_results(results_paths)
     clips = sorted({e.get("clip_id") for e in data.get("experiments", [])
                     if e.get("clip_id")})
 
-    # Latest recorded bench: driver rounds (BENCH_r*.json) plus any local
-    # bench.py run saved to outputs/bench_latest.json (newest mtime wins).
-    bench_files = sorted(
+    # Latest PARSEABLE bench record: driver rounds (BENCH_r*.json) plus any
+    # local bench.py run saved to outputs/bench_latest.json — newest mtime
+    # first, skipping failed captures (driver wrapper rc!=0 -> parsed null;
+    # that skip is what keeps a dead-tunnel round from blanking this section).
+    bench = None
+    for p in sorted(
         glob.glob("BENCH_r*.json") + glob.glob("outputs/bench_latest.json"),
         key=lambda p: Path(p).stat().st_mtime,
-    )
-    bench = json.loads(Path(bench_files[-1]).read_text()) if bench_files else None
-    if bench and "metric" not in bench:
-        # driver wrapper schema: the bench line lives under "parsed"
-        bench = bench.get("parsed")
+        reverse=True,
+    ):
+        try:
+            rec = json.loads(Path(p).read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if "metric" not in rec:
+            # driver wrapper schema: the bench line lives under "parsed"
+            rec = rec.get("parsed")
+        if isinstance(rec, dict) and "value" in rec:
+            bench = rec
+            break
 
     lines = [
         "# Reference baseline vs this framework",
@@ -196,7 +244,7 @@ def main():
     order = [c for c in ("synth_hard_001", "synth_001") if c in clips]
     order += [c for c in clips if c not in order]
     for clip in order:
-        ours = load_ours(results_path, clip)
+        ours = load_ours(data, clip)
         if not ours:
             continue
         lines += section(f"Per-method VFI quality — `{clip}`",
