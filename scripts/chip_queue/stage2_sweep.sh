@@ -47,4 +47,15 @@ timeout 10800 python scripts/run_experiments.py --clip synth_hard_001 \
   --experiment control,lanczos_blend_edge,lanczos_blend_sharp,bicubic_blend_edge,optical_flow_edge,optical_flow_sharp,rife_fast,adaptive_conservative,mcar_aggressive \
   >> outputs/sweep_r3.log 2>&1
 echo "$(date) stage2d done rc=$?" >> $LOG
+
+echo "$(date) stage2e: analysis-layer regeneration" >> $LOG
+timeout 1800 python scripts/generate_comprehensive_report.py >> $LOG 2>&1
+timeout 1800 python scripts/generate_comprehensive_report.py \
+  --results outputs/cpu_fallback/experiment_results.json \
+  --output-dir outputs/cpu_fallback \
+  --note "Rows measured on the CPU path during the round-3 TPU-tunnel outage; quality numbers comparable, times are not." >> $LOG 2>&1
+timeout 1800 python scripts/compare_baseline.py >> $LOG 2>&1
+timeout 1800 python scripts/generate_figures.py >> $LOG 2>&1 || true
+timeout 1800 python scripts/analyze_results.py >> $LOG 2>&1 || true
+echo "$(date) stage2e done rc=$?" >> $LOG
 echo "$(date) stage2 FINISHED" >> $LOG

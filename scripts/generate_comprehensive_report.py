@@ -58,9 +58,12 @@ def _agg(experiments):
     return out
 
 
-def comprehensive_report(results_path: str, out_path: Path) -> None:
+def comprehensive_report(results_path: str, out_path: Path,
+                         note: str | None = None) -> None:
     data = json.loads(Path(results_path).read_text())
     agg = _agg(data["experiments"])
+    clip_ids = sorted({e.get("clip_id") for e in data["experiments"]
+                       if e.get("clip_id")}) or ["synth_001"]
     ranked = sorted(
         ((n, a) for n, a in agg.items() if n != "control"
          and a.get("vfi_psnr_db") is not None),
@@ -76,10 +79,12 @@ def comprehensive_report(results_path: str, out_path: Path) -> None:
         "",
         f"**Date:** {datetime.date.today():%B %d, %Y}",
         "**Hardware:** single TPU v5e chip (vs reference RTX 3090)",
-        "**Test clip:** synthetic gaming clip `synth_001` "
-        "(scripts/make_synthetic_clip.py — no real footage ships with "
+        "**Test clip:** synthetic gaming clip(s) "
+        + ", ".join(f"`{c}`" for c in clip_ids)
+        + " (scripts/make_synthetic_clip.py — no real footage ships with "
         "either snapshot), 1920x1080@60, 5 s intervals",
         f"**Intervals:** {n_int} (150 keyframes + 150 GT midpoints each)",
+        *( [f"**Note:** {note}"] if note else [] ),
         "**Metrics:** VFI PSNR = t=0.5 interpolated frames vs held-out GT "
         "midpoints; KF PSNR = even keyframes vs reference frames; overall "
         "= 0.25*KF + 0.75*VFI (reference run_experiments.py:1021-1038)",
@@ -270,10 +275,14 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--results", default="outputs/experiment_results.json")
     parser.add_argument("--output-dir", default="outputs")
+    parser.add_argument("--note", default=None,
+                        help="provenance line under the header (e.g. "
+                        "'CPU-fallback capture during TPU-tunnel outage')")
     args = parser.parse_args()
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    comprehensive_report(args.results, out / "COMPREHENSIVE_REPORT.md")
+    comprehensive_report(args.results, out / "COMPREHENSIVE_REPORT.md",
+                         note=args.note)
     methods_reference(out / "METHODS_REFERENCE.md")
 
 
