@@ -165,3 +165,31 @@ class TestBaselineComparison:
         smooth = mod.load_ours(str(p), "synth_001")
         assert hard["degraded"]["vfi_psnr"] != smooth["degraded"]["vfi_psnr"]
         assert mod.concordance(hard)[0] == mod.concordance(hard)[1]
+
+    def test_merge_results_gap_fill(self, tmp_path):
+        # Device corpus is authoritative; the fallback corpus only fills
+        # (name, clip, interval) combos the chip never measured.
+        mod = self._load()
+        dev = {"experiments": [
+            {"name": "rife_default", "clip_id": "c", "interval_idx": 0,
+             "vfi_psnr_db": 30.0},
+        ]}
+        fb = {"experiments": [
+            {"name": "rife_default", "clip_id": "c", "interval_idx": 0,
+             "vfi_psnr_db": 10.0},   # duplicate: must lose
+            {"name": "rife_default", "clip_id": "c", "interval_idx": 1,
+             "vfi_psnr_db": 28.0},   # gap: must fill
+        ]}
+        p1 = tmp_path / "dev.json"; p1.write_text(json.dumps(dev))
+        p2 = tmp_path / "fb.json"; p2.write_text(json.dumps(fb))
+        merged = mod.merge_results([str(p1), str(p2), str(tmp_path / "nope.json")])
+        rows = merged["experiments"]
+        assert len(rows) == 2
+        by_ival = {r["interval_idx"]: r for r in rows}
+        assert by_ival[0]["vfi_psnr_db"] == 30.0
+        assert by_ival[0]["_source"] == str(p1)
+        assert by_ival[1]["_source"] == str(p2)
+        # load_ours accepts the merged dict directly and reports sources
+        ours = mod.load_ours(merged, "c")
+        assert ours["rife_default"]["vfi_psnr"] == 29.0
+        assert str(p2) in ours["_sources"]
