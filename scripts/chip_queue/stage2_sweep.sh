@@ -27,6 +27,17 @@ timeout 10800 python scripts/run_experiments.py --clip synth_hard_001 \
   >> outputs/sweep_r3.log 2>&1
 echo "$(date) stage2a done rc=$?" >> $LOG
 
+echo "$(date) stage2a2: synth_hard_002 routing-corpus keystone" >> $LOG
+if [ -d data/clips/synth_hard_002/intervals/interval_0000 ]; then
+  timeout 10800 python scripts/run_experiments.py --clip synth_hard_002 \
+    --intervals 0,1 --heavy --resume \
+    --experiment degraded,bicubic_blend,lanczos_blend,optical_flow_basic,uafi_default,ughi_default,rife_default,adaptive_default,adaptive_aggressive,mcar_default \
+    >> outputs/sweep_r3.log 2>&1
+  echo "$(date) stage2a2 done rc=$?" >> $LOG
+else
+  echo "$(date) stage2a2 SKIPPED (synth_hard_002 not extracted)" >> $LOG
+fi
+
 echo "$(date) stage2b: synth_001 adaptive refresh" >> $LOG
 timeout 7200 python scripts/run_experiments.py --clip synth_001 \
   --intervals 0,1,2 --heavy --replace \

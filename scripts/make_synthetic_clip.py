@@ -119,13 +119,62 @@ def _speed_profile(n_frames, fps, cut1, cut2, rng):
     return v
 
 
+def _routing_speed_profile(n_frames, fps):
+    """Interleaved-strata speed profile (px/s) + world-advance mask.
+
+    The v1 hard profile has NO truly static pairs (static_pct 0.0) and
+    lays strata out sequentially, so (a) the adaptive router's low-res
+    motion gate (reference run_experiments.py:848-874, threshold on a
+    480x270 single-level Farneback) routes real 4-9 px/pair motion to
+    blend — a stratum real gaming footage doesn't have; menus/pause
+    screens are genuinely frozen — and (b) any --max-frames prefix
+    oversamples the opening ramp. This profile interleaves strata in a
+    repeating 2.5 s cycle so every 2 s window is representative:
+
+      static 0.30s (world FROZEN: pause-menu semantics)
+      medium 0.90s (13 px/pair)   hard 0.75s (20 px/pair)
+      easy   0.20s ( 3 px/pair)   extreme 0.15s (32 px/pair)
+      medium 0.20s (13 px/pair)
+
+    Mean pair flow ~13.9 px, hard+extreme ~36% — difficulty-matched to
+    the reference interval (mean 12.92, hard 31.4%; arc_raiders
+    meta.json). Pan direction alternates per cycle (reversal coverage).
+    Returns (speed px/s signed, advance bool) per frame.
+    """
+    half_fps = fps / 2.0  # px/pair -> px/s
+    cycle = [(0.30, 0.0), (0.90, 13.0), (0.75, 20.0),
+             (0.20, 3.0), (0.15, 32.0), (0.20, 13.0)]
+    cycle_len = sum(d for d, _ in cycle)
+    v = np.zeros(n_frames, np.float32)
+    advance = np.ones(n_frames, bool)
+    for i in range(n_frames):
+        t = i / fps
+        k = int(t // cycle_len)
+        pos = t % cycle_len
+        sign = 1.0 if k % 2 == 0 else -1.0
+        for dur, pair_flow in cycle:
+            if pos < dur:
+                v[i] = sign * pair_flow * half_fps
+                advance[i] = pair_flow > 0
+                break
+            pos -= dur
+    return v, advance
+
+
 def render_hard_clip(path: str, seconds: float = 12.0, fps: int = 60,
-                     width: int = 1920, height: int = 1080, seed: int = 11):
+                     width: int = 1920, height: int = 1080, seed: int = 11,
+                     profile: str = "v1"):
     """Reference-grade difficulty: high-frequency world + hard motion.
 
     Content classes per VERDICT r2 task 4: detailed texture, particle
     systems, occlusion/disocclusion (textured hard-edged sprites over
     parallax layers), static HUD, TWO scene cuts, direction reversal.
+
+    profile="routing" swaps in the interleaved-strata speed profile
+    (see _routing_speed_profile): true frozen-world static blocks with
+    an animated HUD spinner (frames never bitwise-identical), sprites/
+    bob/particles keyed to a world clock that pauses during static
+    blocks, particles during hard/extreme phases only.
     """
     rng = np.random.default_rng(seed)
     n_frames = int(seconds * fps)
@@ -148,7 +197,12 @@ def render_hard_clip(path: str, seconds: float = 12.0, fps: int = 60,
     scenes = [scene_textures(k) for k in range(3)]
     cut1, cut2 = 0.45, 0.80
     cut1_i, cut2_i = int(n_frames * cut1), int(n_frames * cut2)
-    vx = _speed_profile(n_frames, fps, cut1, cut2, rng)
+    if profile == "routing":
+        vx, adv = _routing_speed_profile(n_frames, fps)
+        wt = np.cumsum(adv) / fps  # world clock: frozen in static blocks
+    else:
+        vx = _speed_profile(n_frames, fps, cut1, cut2, rng)
+        wt = np.arange(n_frames) / fps
     cam_x = np.cumsum(vx) / fps  # px
 
     # textured, hard-edged sprites (occluders)
@@ -176,12 +230,13 @@ def render_hard_clip(path: str, seconds: float = 12.0, fps: int = 60,
 
     for i in range(n_frames):
         t = i / fps
+        w_t = float(wt[i])  # sprite/bob/particle clock (= t for v1)
         scene_k = 0 if i < cut1_i else (1 if i < cut2_i else 2)
         far, near, nm_full = scenes[scene_k]
         cam = cam_x[i]
         xf = int(cam * 0.4) % width
         xn = int(cam) % width
-        yb = int(margin / 2 + 50 * np.sin(2 * np.pi * 0.23 * t))
+        yb = int(margin / 2 + 50 * np.sin(2 * np.pi * 0.23 * w_t))
         frame = far[yb:yb + height, xf:xf + width].copy()
         nm = nm_full[yb:yb + height, xn:xn + width]
         frame = frame * (1 - nm) + near[yb:yb + height, xn:xn + width] * nm
@@ -189,8 +244,8 @@ def render_hard_clip(path: str, seconds: float = 12.0, fps: int = 60,
         # textured sprites: hard edges, crossing paths (occlusion events)
         for s in range(n_sprites):
             sz = int(spr_size[s])
-            x = int((spr_phase[s] * 300 + t * spr_speed[s]) % (width + 2 * sz)) - sz
-            y = int(spr_y0[s] + 90 * np.sin(2 * np.pi * 0.5 * t + spr_phase[s]))
+            x = int((spr_phase[s] * 300 + w_t * spr_speed[s]) % (width + 2 * sz)) - sz
+            y = int(spr_y0[s] + 90 * np.sin(2 * np.pi * 0.5 * w_t + spr_phase[s]))
             x2, y2 = min(x + sz, width), min(y + sz, height)
             xc, yc = max(x, 0), max(y, 0)
             if x2 > xc and y2 > yc:
@@ -199,16 +254,29 @@ def render_hard_clip(path: str, seconds: float = 12.0, fps: int = 60,
         frame_u8 = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
 
         # particle phases: the EXTREME burst and the second HARD phase
-        in_burst = (int(n_frames * 0.30) <= i < cut1_i) or (
-            int(n_frames * 0.62) <= i < cut2_i)
+        # (routing profile: any hard/extreme block, >=18 px/pair)
+        if profile == "routing":
+            in_burst = abs(float(vx[i])) >= 18.0 * fps / 2.0 - 1e-3
+        else:
+            in_burst = (int(n_frames * 0.30) <= i < cut1_i) or (
+                int(n_frames * 0.62) <= i < cut2_i)
         if in_burst:
-            pp = part_pos + part_vel * (t % 3.0)
+            pp = part_pos + part_vel * (w_t % 3.0)
             px = np.mod(pp[:, 0], width).astype(int)
             py = np.mod(pp[:, 1], height).astype(int)
             for k in range(n_part):
                 cv2.circle(frame_u8, (px[k], py[k]), 2, (255, 242, 178), -1)
 
         _draw_hud(frame_u8, width, height)
+        if profile == "routing":
+            # animated HUD spinner: frames are never bitwise-identical,
+            # even in frozen-world static blocks (menu-animation analog)
+            ang = 2 * np.pi * 1.5 * t
+            cx, cy, r = width - 70, 70, 16
+            cv2.circle(frame_u8, (cx, cy), r + 4, (60, 60, 70), 2)
+            cv2.line(frame_u8, (cx, cy),
+                     (int(cx + r * np.cos(ang)), int(cy + r * np.sin(ang))),
+                     (240, 240, 250), 3)
         writer.write(cv2.cvtColor(frame_u8, cv2.COLOR_RGB2BGR))
     writer.release()
     return n_frames
@@ -309,17 +377,26 @@ def main():
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--seed", type=int, default=7)
     parser.add_argument(
-        "--preset", default="smooth", choices=["smooth", "hard"],
+        "--preset", default="smooth", choices=["smooth", "hard", "routing"],
         help="'smooth': the round-1/2 clip (kept byte-reproducible); "
         "'hard': reference-grade difficulty — high-frequency texture, "
-        "occluding textured sprites, two cuts, ~13 px mean pair flow")
+        "occluding textured sprites, two cuts, ~13 px mean pair flow; "
+        "'routing': same world, interleaved strata incl. frozen-world "
+        "static blocks (see _routing_speed_profile) so the adaptive "
+        "router's low-res motion gate separates pairs the way it does "
+        "on real gaming footage")
     args = parser.parse_args()
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    render = render_hard_clip if args.preset == "hard" else render_clip
-    if args.preset == "hard" and args.seed == 7:
-        args.seed = 11  # hard preset's own default world
-    n = render(args.out, args.seconds, args.fps, args.width,
-               args.height, args.seed)
+    if args.preset == "smooth":
+        n = render_clip(args.out, args.seconds, args.fps, args.width,
+                        args.height, args.seed)
+    else:
+        if args.seed == 7:
+            args.seed = 11  # hard/routing presets' own default world
+        n = render_hard_clip(args.out, args.seconds, args.fps, args.width,
+                             args.height, args.seed,
+                             profile="routing" if args.preset == "routing"
+                             else "v1")
     print(f"Wrote {n} frames to {args.out}")
 
 

@@ -86,7 +86,7 @@ def main():
         checkpoint = ExperimentCheckpoint(out_dir / "experiment_results.json")
         done = checkpoint.completed_keys() if args.resume else set()
         for experiment in experiments:
-            if (experiment["name"], 0) in done:
+            if (None, experiment["name"], 0) in done:
                 print(f"  [skip] {experiment['name']} (done)")
                 continue
             print(f"  Running {experiment['name']} (legacy mode)...")

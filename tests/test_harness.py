@@ -77,11 +77,13 @@ def test_quality_matrix():
 def test_checkpoint_resume(tmp_path):
     path = tmp_path / "experiment_results.json"
     ck = ExperimentCheckpoint(path)
-    ck.append({"name": "a", "interval_idx": 0})
-    ck.append({"name": "b", "interval_idx": 1})
+    ck.append({"name": "a", "interval_idx": 0, "clip_id": "clip_x"})
+    ck.append({"name": "b", "interval_idx": 1})  # legacy row, no clip
     # reload from disk
     ck2 = ExperimentCheckpoint(path)
-    assert ck2.completed_keys() == {("a", 0), ("b", 1)}
+    # keys are clip-scoped: the same (name, interval) on another clip
+    # must NOT be considered done (CPU-fallback v4 regression)
+    assert ck2.completed_keys() == {("clip_x", "a", 0), (None, "b", 1)}
     data = json.loads(path.read_text())
     assert len(data["experiments"]) == 2
 
@@ -104,3 +106,19 @@ def test_drop_rows_targeted_refresh():
         ("rife_default", 0),
         ("control", 0),
     }
+
+
+def test_drop_rows_clip_scoped():
+    # --replace on one clip must not evict the same cells on other clips
+    from vfisr_tpu.harness.experiments import drop_rows
+
+    rows = [
+        {"name": "adaptive_default", "interval_idx": 0, "clip_id": "synth_001"},
+        {"name": "adaptive_default", "interval_idx": 0, "clip_id": "synth_hard_001"},
+        {"name": "adaptive_default", "interval_idx": 0},  # legacy: no clip
+    ]
+    kept = drop_rows(rows, ["adaptive_default"], [0], clip_id="synth_001")
+    # synth_001 and the legacy row drop; the other clip's row survives
+    assert [r.get("clip_id") for r in kept] == ["synth_hard_001"]
+    # unscoped drop clears all three
+    assert drop_rows(rows, ["adaptive_default"], [0]) == []

@@ -499,8 +499,16 @@ class ExperimentCheckpoint:
                 self.data = json.load(f)
 
     def completed_keys(self) -> set:
+        """(clip_id, name, interval) triples; clip_id None for legacy rows.
+
+        The reference keys resume on (name, interval_idx) alone
+        (run_experiments.py:144-146) because it runs one clip per results
+        file; this store merges clips, so without the clip in the key a
+        completed synth_hard_001 row would shadow the same experiment on
+        synth_hard_002 (found when CPU-fallback v4 no-opped 12 rows).
+        """
         return {
-            (e["name"], e.get("interval_idx", 0))
+            (e.get("clip_id"), e["name"], e.get("interval_idx", 0))
             for e in self.data.get("experiments", [])
         }
 
@@ -516,10 +524,22 @@ class ExperimentCheckpoint:
         tmp.replace(self.path)
 
 
-def drop_rows(rows: List[dict], names: List[str], intervals: List[int]) -> List[dict]:
-    """Remove rows matching (name in names) x (interval in intervals)."""
+def drop_rows(rows: List[dict], names: List[str], intervals: List[int],
+              clip_id: Optional[str] = None) -> List[dict]:
+    """Remove rows matching (name in names) x (interval in intervals).
+
+    clip_id scopes the drop to one clip's rows (legacy rows without a
+    clip_id always match, preserving single-clip reference semantics);
+    None drops across every clip.
+    """
     sel = {(n, i) for n in names for i in intervals}
-    return [r for r in rows if (r["name"], r.get("interval_idx", 0)) not in sel]
+
+    def _match(r: dict) -> bool:
+        if (r["name"], r.get("interval_idx", 0)) not in sel:
+            return False
+        return clip_id is None or r.get("clip_id") in (None, clip_id)
+
+    return [r for r in rows if not _match(r)]
 
 
 def run_experiment_sweep(
@@ -552,7 +572,7 @@ def run_experiment_sweep(
         # invalidated by a later code fix)
         checkpoint.data["experiments"] = drop_rows(
             checkpoint.data["experiments"],
-            [e["name"] for e in experiments], intervals)
+            [e["name"] for e in experiments], intervals, clip_id=clip_id)
         checkpoint.save()
         done = checkpoint.completed_keys()
     elif not resume:
@@ -588,8 +608,9 @@ def run_experiment_sweep(
             for experiment in experiments:
                 if shutdown.requested:
                     break
-                key = (experiment["name"], interval_idx)
-                if key in done:
+                key = (clip_id, experiment["name"], interval_idx)
+                legacy_key = (None, experiment["name"], interval_idx)
+                if key in done or legacy_key in done:
                     print(f"  [skip] {experiment['name']} interval {interval_idx} (done)")
                     continue
                 print(f"  Running {experiment['name']} on interval {interval_idx}...")
