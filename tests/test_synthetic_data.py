@@ -75,6 +75,70 @@ class TestHardClipRenderer:
         hard = float((pair_flow >= 15.0).mean())
         assert 0.2 <= hard <= 0.45, hard
 
+    def test_routing_profile_strata(self):
+        """The routing preset must contain TRUE static pairs (frozen world)
+        plus a reference-regime moving mix, interleaved so any 2 s prefix
+        spans static+medium+hard (the --max-frames window)."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        from make_synthetic_clip import _routing_speed_profile
+
+        fps = 60
+        v, adv = _routing_speed_profile(720, fps)
+        pair_flow = np.abs(v) / (fps / 2.0)
+        static = float((pair_flow < 1.0).mean())
+        assert 0.08 <= static <= 0.18, static
+        # frozen world exactly where speed is zero
+        assert np.array_equal(adv, pair_flow > 0)
+        assert 11.0 <= pair_flow.mean() <= 16.0, pair_flow.mean()
+        hard = float((pair_flow >= 15.0).mean())
+        assert 0.25 <= hard <= 0.45, hard
+        # first 2 s (one --max-frames 60 source window) is representative
+        head = pair_flow[: 2 * fps]
+        assert (head < 1.0).any() and (head >= 15.0).any() and (
+            (head >= 5.0) & (head < 15.0)).any()
+        # pan direction alternates between cycles (reversal coverage)
+        assert (v > 0).any() and (v < 0).any()
+
+    def test_render_tiny_routing_clip(self, tmp_path):
+        import cv2
+
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        from make_synthetic_clip import render_hard_clip
+
+        out = tmp_path / "routing.mp4"
+        n = render_hard_clip(str(out), seconds=0.3, fps=30, width=480,
+                             height=400, seed=3, profile="routing")
+        assert n == 9
+        cap = cv2.VideoCapture(str(out))
+        frames = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(f.astype(np.float32))
+        cap.release()
+        assert len(frames) == 9
+        # 0.3 s at 30 fps sits inside the first static block: the world is
+        # frozen, only the HUD spinner animates -> consecutive frames are
+        # near-identical outside the spinner box but NOT bitwise-identical
+        d = np.abs(frames[1] - frames[0])
+        assert d.max() > 0  # spinner moved (finite PSNR guaranteed)
+        h, w = d.shape[:2]
+        spinner = d[: h // 3, 2 * w // 3:]
+        outside = d.copy()
+        outside[: h // 3, 2 * w // 3:] = 0
+        # only mp4v codec noise outside the spinner (lossy on detailed
+        # texture, ~2-3 mean abs — same as real captured footage), while
+        # the spinner region has true motion (high-contrast line moved)
+        assert outside.mean() < 4.0, outside.mean()
+        assert spinner.max() > 50.0, spinner.max()
+
     def test_render_tiny_hard_clip(self, tmp_path):
         import cv2
 
