@@ -14,8 +14,10 @@ echo "$(date) running bench.py" >> /tmp/queue.log
 timeout 2400 python bench.py > /tmp/bench_r3.log 2>/tmp/bench_r3_err.log
 echo "$(date) bench rc=$? result: $(cat /tmp/bench_r3.log)" >> /tmp/queue.log
 echo "$(date) starting vfimamba full training" >> /tmp/queue.log
+# batch 8 / crop 128 OOMs HBM for the FULL variant (16.05G of 15.75G —
+# the S variant fits at batch 8; the full net's S6 backward temps don't).
 timeout 21600 python scripts/train.py --model vfimamba --steps 12000 \
-  --batch 8 --crop 128 --save-every 500 --log-every 50 \
+  --batch 6 --crop 128 --save-every 500 --log-every 50 \
   > /tmp/train_vfimamba.log 2>&1
 echo "$(date) vfimamba training rc=$?" >> /tmp/queue.log
 echo "$(date) stage1 FINISHED" >> /tmp/queue.log
