@@ -38,3 +38,29 @@ timeout 3600 python scripts/eval_sr_quality.py --scene detail \
 timeout 3600 python scripts/eval_sr_quality.py --scene smooth \
   > outputs/train_r3/eval_sr_smooth.txt 2>&1
 echo "$(date) stage3 FINISHED" >> $LOG
+
+# --- appended mid-run (append-only; stage3a was executing above) ---
+# stage3e: extend SAFA to the VERDICT's ~12k steps, gated against the
+# completed-8k snapshot so a timeout cut can never strand a worse ckpt.
+echo "$(date) stage3e: safa extension 8000->12000 (guarded)" >> $LOG
+NOW=$(date +%s)
+STOP=$(date -u -d '2026-08-19 00:50:00' +%s)
+BUDGET=$(( STOP - NOW ))
+if [ "$BUDGET" -gt 4800 ]; then
+  cp weights/safa.npz /tmp/safa_8k.npz
+  timeout $BUDGET python scripts/train.py --model safa --steps 12000 \
+    --batch 16 --crop 128 --resume weights/safa.npz \
+    --save-every 500 --log-every 50 > /tmp/train_safa12k_r3.log 2>&1
+  echo "$(date) stage3e train rc=$?" >> $LOG
+  timeout 1800 python scripts/gate_checkpoint.py --candidate safa \
+    --incumbent safa --incumbent-weights /tmp/safa_8k.npz \
+    --weights weights/safa.npz --demote-to weights/safa_cut.npz \
+    --record outputs/train_r3/gate_safa12k.json >> $LOG 2>&1
+  echo "$(date) stage3e gate rc=$?" >> $LOG
+  timeout 2400 python scripts/eval_vfi_quality.py --models safa,rife,lanczos \
+    --crop 256 > outputs/train_r3/eval_safa12k.txt 2>&1
+  echo "$(date) stage3e eval rc=$?" >> $LOG
+else
+  echo "$(date) stage3e SKIPPED (budget ${BUDGET}s < 4800s)" >> $LOG
+fi
+echo "$(date) stage3 ALL-DONE" >> $LOG

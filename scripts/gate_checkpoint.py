@@ -28,13 +28,20 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def heldout_psnr(model_name: str, samples: int, crop: int, seed: int) -> float:
+def heldout_psnr(
+    model_name: str,
+    samples: int,
+    crop: int,
+    seed: int,
+    weights_path: str | None = None,
+) -> float:
     import numpy as np
 
     from vfisr_tpu.evaluation.metrics import compute_psnr_simple
@@ -47,7 +54,14 @@ def heldout_psnr(model_name: str, samples: int, crop: int, seed: int) -> float:
     f1s = (batch["img1"] * 255).astype(np.uint8)
     gts = (batch["gt"] * 255).astype(np.uint8)
     ts = batch["t"]
-    model = get_model(model_name, load=True)
+    if weights_path is None:
+        model = get_model(model_name, load=True)
+    else:
+        # Same-model gating (a resumed checkpoint vs its pre-resume
+        # snapshot): load an explicit weights file instead of the
+        # registry's default auto-load path.
+        model = get_model(model_name)
+        model.load(weights_path)
     psnrs = []
     for i in range(samples):
         mid = model.interpolate(f0s[i], f1s[i], 1, [float(ts[i])])[0]
@@ -61,6 +75,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--candidate", required=True)
     ap.add_argument("--incumbent", required=True)
+    ap.add_argument("--incumbent-weights", default=None,
+                    help="gate against an explicit incumbent checkpoint "
+                    "file (same-model resume gating): the incumbent is "
+                    "evaluated as CANDIDATE's model with these weights, "
+                    "and on demotion this file is restored to --weights "
+                    "so auto-load keeps the better checkpoint")
     ap.add_argument("--weights", required=True,
                     help="candidate checkpoint path (auto-loaded by the "
                     "registry); absent file = nothing to gate")
@@ -91,14 +111,28 @@ def main() -> int:
         print(json.dumps(record))
     else:
         cand = heldout_psnr(args.candidate, args.samples, args.crop, args.seed)
-        inc = heldout_psnr(args.incumbent, args.samples, args.crop, args.seed)
+        if args.incumbent_weights is not None:
+            record["incumbent_weights"] = args.incumbent_weights
+            inc = heldout_psnr(args.candidate, args.samples, args.crop,
+                               args.seed, weights_path=args.incumbent_weights)
+        else:
+            inc = heldout_psnr(args.incumbent, args.samples, args.crop,
+                               args.seed)
         record["candidate_psnr_db"] = round(cand, 2)
         record["incumbent_psnr_db"] = round(inc, 2)
         if cand < inc - args.margin:
             os.replace(args.weights, args.demote_to)
-            record["decision"] = (
-                f"demoted to {args.demote_to} (candidate underperforms; "
-                "auto-load falls back to the incumbent)")
+            if args.incumbent_weights is not None:
+                # Same-model gating: the default auto-load path must keep
+                # pointing at the better checkpoint, not vanish.
+                shutil.copyfile(args.incumbent_weights, args.weights)
+                record["decision"] = (
+                    f"demoted to {args.demote_to}; restored incumbent "
+                    f"checkpoint {args.incumbent_weights} to {args.weights}")
+            else:
+                record["decision"] = (
+                    f"demoted to {args.demote_to} (candidate underperforms; "
+                    "auto-load falls back to the incumbent)")
         else:
             record["decision"] = "kept (candidate >= incumbent)"
         print(json.dumps(record))
