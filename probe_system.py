@@ -72,6 +72,12 @@ def probe_accelerator(timeout_s: float = 120.0) -> dict:
             "error": f"device probe hung >{timeout_s:.0f}s "
                      "(TPU tunnel down?)",
         }
+    except (OSError, json.JSONDecodeError) as e:
+        # Never-hang also means never-crash: a failed spawn or a partial/
+        # garbled stdout line (tunnel dropping mid-print) degrades to an
+        # error-tagged report like every other probe failure.
+        return {"platform": None, "devices": [], "hbm_gb": None,
+                "error": f"device probe failed: {e}"}
 
 
 def probe_dependencies() -> dict:

@@ -110,7 +110,11 @@ def main() -> int:
         record["decision"] = "skip (no candidate checkpoint on disk)"
         print(json.dumps(record))
     else:
-        cand = heldout_psnr(args.candidate, args.samples, args.crop, args.seed)
+        # Score the exact file this gate will move: auto-load resolution
+        # (CWD-dependent) could otherwise score a different checkpoint
+        # than --weights and demote/keep on a mismatched measurement.
+        cand = heldout_psnr(args.candidate, args.samples, args.crop,
+                            args.seed, weights_path=args.weights)
         if args.incumbent_weights is not None:
             record["incumbent_weights"] = args.incumbent_weights
             inc = heldout_psnr(args.candidate, args.samples, args.crop,
@@ -121,15 +125,20 @@ def main() -> int:
         record["candidate_psnr_db"] = round(cand, 2)
         record["incumbent_psnr_db"] = round(inc, 2)
         if cand < inc - args.margin:
-            os.replace(args.weights, args.demote_to)
             if args.incumbent_weights is not None:
                 # Same-model gating: the default auto-load path must keep
-                # pointing at the better checkpoint, not vanish.
-                shutil.copyfile(args.incumbent_weights, args.weights)
+                # pointing at the better checkpoint, not vanish. Stage the
+                # incumbent copy BEFORE moving the candidate aside so a
+                # copy failure cannot leave the path empty.
+                staged = args.weights + ".gate_restore"
+                shutil.copyfile(args.incumbent_weights, staged)
+                os.replace(args.weights, args.demote_to)
+                os.replace(staged, args.weights)
                 record["decision"] = (
                     f"demoted to {args.demote_to}; restored incumbent "
                     f"checkpoint {args.incumbent_weights} to {args.weights}")
             else:
+                os.replace(args.weights, args.demote_to)
                 record["decision"] = (
                     f"demoted to {args.demote_to} (candidate underperforms; "
                     "auto-load falls back to the incumbent)")

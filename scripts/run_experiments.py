@@ -73,7 +73,9 @@ def main():
 
     if args.raw:
         from vfisr_tpu.harness.experiments import (
+            LEGACY_CLIP_ID,
             ExperimentCheckpoint,
+            drop_rows,
             generate_reference,
             run_experiment,
             summarize,
@@ -84,9 +86,19 @@ def main():
         out_dir = _P(args.output_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         checkpoint = ExperimentCheckpoint(out_dir / "experiment_results.json")
+        if args.replace:
+            # Same semantics as cached mode: refresh the selected cells
+            # instead of appending duplicate rows the aggregators would
+            # silently average with the stale ones.
+            checkpoint.data["experiments"] = drop_rows(
+                checkpoint.data.get("experiments", []),
+                [e["name"] for e in experiments], [0],
+                clip_id=LEGACY_CLIP_ID)
+            checkpoint.save()
         done = checkpoint.completed_keys() if args.resume else set()
         for experiment in experiments:
-            if (None, experiment["name"], 0) in done:
+            # raw-mode rows carry no clip_id and load as LEGACY_CLIP_ID
+            if (LEGACY_CLIP_ID, experiment["name"], 0) in done:
                 print(f"  [skip] {experiment['name']} (done)")
                 continue
             print(f"  Running {experiment['name']} (legacy mode)...")

@@ -93,8 +93,9 @@ class TestSameModelResumeGate:
             "--incumbent-weights", str(snap),
             "--weights", str(w), "--demote-to", str(tmp_path / "aside.npz"),
         ], scores=[30.0, 29.0])
+        # candidate is scored from the exact --weights file it may move;
         # incumbent is scored as the CANDIDATE model with the snapshot file
-        assert calls == [("safa", None), ("safa", str(snap))]
+        assert calls == [("safa", str(w)), ("safa", str(snap))]
         assert w.read_bytes() == b"resumed-12k"  # kept
 
     def test_demotion_restores_snapshot_to_autoload_path(

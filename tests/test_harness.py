@@ -82,8 +82,13 @@ def test_checkpoint_resume(tmp_path):
     # reload from disk
     ck2 = ExperimentCheckpoint(path)
     # keys are clip-scoped: the same (name, interval) on another clip
-    # must NOT be considered done (CPU-fallback v4 regression)
-    assert ck2.completed_keys() == {("clip_x", "a", 0), (None, "b", 1)}
+    # must NOT be considered done (CPU-fallback v4 regression). Legacy
+    # rows (no clip_id) migrate to LEGACY_CLIP_ID instead of acting as
+    # a cross-clip wildcard.
+    from vfisr_tpu.harness.experiments import LEGACY_CLIP_ID
+
+    assert ck2.completed_keys() == {
+        ("clip_x", "a", 0), (LEGACY_CLIP_ID, "b", 1)}
     data = json.loads(path.read_text())
     assert len(data["experiments"]) == 2
 

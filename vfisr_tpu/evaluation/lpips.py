@@ -68,7 +68,8 @@ def _init_params(seed: int = 0) -> dict:
 class LPIPS:
     """Callable LPIPS distance. Frames: uint8 HWC RGB or [N,H,W,3] float [0,1]."""
 
-    def __init__(self, weights_path: Optional[str] = None, seed: int = 0):
+    def __init__(self, weights_path: Optional[str] = None, seed: int = 0,
+                 load_calibrated: bool = True):
         path = weights_path or DEFAULT_WEIGHTS_PATH
         if path and os.path.exists(path):
             data = np.load(path)
@@ -80,9 +81,12 @@ class LPIPS:
             # Calibrated heads (evaluation/lpips_calibrate.py): learned on
             # synthetic ranked distortions + PSNR/SSIM-consensus pairs —
             # the in-env substitute for the official 2AFC-trained heads.
+            # The calibration flow itself passes load_calibrated=False:
+            # its uniform/candidate baselines must NOT silently pick up the
+            # shipped heads or the reported improvement is self-referential.
             heads = os.path.join(os.path.dirname(DEFAULT_WEIGHTS_PATH),
                                  "lpips_heads.npz")
-            if os.path.exists(heads):
+            if load_calibrated and os.path.exists(heads):
                 hd = np.load(heads)
                 for k in hd.files:
                     if k.startswith("lin"):

@@ -190,16 +190,23 @@ def _tap_distances(lp: LPIPS, a: np.ndarray, b: np.ndarray) -> List[np.ndarray]:
     xa = lp._prep(a)
     xb = lp._prep(b)
 
-    @jax.jit
-    def taps(xa, xb):
-        fa = lp._features(xa)
-        fb = lp._features(xb)
-        out = []
-        for ya, yb in zip(fa, fb):
-            na = ya * jax.lax.rsqrt(jnp.sum(ya * ya, axis=-1, keepdims=True) + 1e-10)
-            nb = yb * jax.lax.rsqrt(jnp.sum(yb * yb, axis=-1, keepdims=True) + 1e-10)
-            out.append(jnp.mean((na - nb) ** 2, axis=(1, 2)))  # [N, C]
-        return out
+    # One jitted program per LPIPS instance (cached on the instance):
+    # a fresh @jax.jit closure per call would re-trace the AlexNet
+    # feature stack for every one of the hundreds of calibration calls.
+    taps = getattr(lp, "_taps_jit", None)
+    if taps is None:
+        @jax.jit
+        def taps(xa, xb):
+            fa = lp._features(xa)
+            fb = lp._features(xb)
+            out = []
+            for ya, yb in zip(fa, fb):
+                na = ya * jax.lax.rsqrt(jnp.sum(ya * ya, axis=-1, keepdims=True) + 1e-10)
+                nb = yb * jax.lax.rsqrt(jnp.sum(yb * yb, axis=-1, keepdims=True) + 1e-10)
+                out.append(jnp.mean((na - nb) ** 2, axis=(1, 2)))  # [N, C]
+            return out
+
+        lp._taps_jit = taps
 
     return [np.asarray(t) for t in taps(xa, xb)]
 
@@ -210,7 +217,7 @@ def train_heads(refs: np.ndarray, near: np.ndarray, far: np.ndarray,
     """Fit softplus-parameterized heads with a logistic ranking loss."""
     import optax
 
-    lp = LPIPS(weights_path="__nonexistent__", seed=0)  # random features
+    lp = LPIPS(weights_path="__nonexistent__", seed=0, load_calibrated=False)  # random features
     # precompute channel-resolved tap distances once
     tn = []
     tf = []
@@ -261,7 +268,7 @@ def train_heads(refs: np.ndarray, near: np.ndarray, far: np.ndarray,
 def evaluate_heads(heads: Dict[str, np.ndarray], refs, near, far,
                    lp: LPIPS = None) -> dict:
     """2AFC accuracy + within-metric stats for a head set."""
-    lp = lp or LPIPS(weights_path="__nonexistent__", seed=0)
+    lp = lp or LPIPS(weights_path="__nonexistent__", seed=0, load_calibrated=False)
     dn_taps = _tap_distances(lp, near, refs)
     df_taps = _tap_distances(lp, far, refs)
     d_near = sum((t * heads[f"lin{i}_w"]).sum(axis=1)
@@ -276,7 +283,7 @@ def severity_spearman(heads: Dict[str, np.ndarray], rng=None,
                       n_patches: int = 8) -> Dict[str, float]:
     """Within-family Spearman rank correlation of distance vs severity."""
     rng = rng or np.random.default_rng(123)
-    lp = LPIPS(weights_path="__nonexistent__", seed=0)
+    lp = LPIPS(weights_path="__nonexistent__", seed=0, load_calibrated=False)
     bases = make_base_patches(rng, n_patches)
     out = {}
     for fam in FAMILIES:
@@ -299,7 +306,7 @@ def severity_spearman(heads: Dict[str, np.ndarray], rng=None,
 
 def uniform_heads() -> Dict[str, np.ndarray]:
     """The uncalibrated (random_features mode) baseline heads."""
-    lp = LPIPS(weights_path="__nonexistent__", seed=0)
+    lp = LPIPS(weights_path="__nonexistent__", seed=0, load_calibrated=False)
     return {f"lin{i}_w": np.asarray(lp.params[f"lin{i}_w"]) for i in range(5)}
 
 

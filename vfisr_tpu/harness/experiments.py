@@ -488,6 +488,11 @@ def run_experiment(
     }
 
 
+# Clip id assumed for result rows written before clip scoping existed:
+# pre-round-3 stores were all measured on the single registered clip.
+LEGACY_CLIP_ID = "synth_001"
+
+
 class ExperimentCheckpoint:
     """Crash-safe results store (run_experiments.py:1204-1218, 1405-1407)."""
 
@@ -499,16 +504,23 @@ class ExperimentCheckpoint:
                 self.data = json.load(f)
 
     def completed_keys(self) -> set:
-        """(clip_id, name, interval) triples; clip_id None for legacy rows.
+        """(clip_id, name, interval) triples.
 
         The reference keys resume on (name, interval_idx) alone
         (run_experiments.py:144-146) because it runs one clip per results
         file; this store merges clips, so without the clip in the key a
         completed synth_hard_001 row would shadow the same experiment on
         synth_hard_002 (found when CPU-fallback v4 no-opped 12 rows).
+
+        Rows written before clip scoping existed carry no clip_id; every
+        such row was measured on LEGACY_CLIP_ID (the only registered clip
+        at the time), so they are migrated to that id here rather than
+        matched against ANY clip — a wildcard legacy key would
+        re-introduce the cross-clip shadowing this key exists to fix.
         """
         return {
-            (e.get("clip_id"), e["name"], e.get("interval_idx", 0))
+            (e.get("clip_id") or LEGACY_CLIP_ID, e["name"],
+             e.get("interval_idx", 0))
             for e in self.data.get("experiments", [])
         }
 
@@ -529,7 +541,7 @@ def drop_rows(rows: List[dict], names: List[str], intervals: List[int],
     """Remove rows matching (name in names) x (interval in intervals).
 
     clip_id scopes the drop to one clip's rows (legacy rows without a
-    clip_id always match, preserving single-clip reference semantics);
+    clip_id are LEGACY_CLIP_ID measurements — see completed_keys);
     None drops across every clip.
     """
     sel = {(n, i) for n in names for i in intervals}
@@ -537,7 +549,8 @@ def drop_rows(rows: List[dict], names: List[str], intervals: List[int],
     def _match(r: dict) -> bool:
         if (r["name"], r.get("interval_idx", 0)) not in sel:
             return False
-        return clip_id is None or r.get("clip_id") in (None, clip_id)
+        return clip_id is None or (
+            (r.get("clip_id") or LEGACY_CLIP_ID) == clip_id)
 
     return [r for r in rows if not _match(r)]
 
@@ -609,8 +622,7 @@ def run_experiment_sweep(
                 if shutdown.requested:
                     break
                 key = (clip_id, experiment["name"], interval_idx)
-                legacy_key = (None, experiment["name"], interval_idx)
-                if key in done or legacy_key in done:
+                if key in done:
                     print(f"  [skip] {experiment['name']} interval {interval_idx} (done)")
                     continue
                 print(f"  Running {experiment['name']} on interval {interval_idx}...")

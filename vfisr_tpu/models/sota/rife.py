@@ -491,13 +491,21 @@ class RIFEModel(BaseModel):
         frame1: np.ndarray,
         num_frames: int = 3,
         timestamps=None,
-        scale: float = 1.0,
+        scale: Optional[float] = None,
     ):
-        """Base adapter plus the reference's per-call ``scale`` knob."""
+        """Base adapter plus the reference's per-call ``scale`` knob.
+
+        ``scale`` is in NATIVE pyramid units (1.0 = trained full pyramid
+        = reference rife_scale 0.5; see harness._rife_native_scale). An
+        explicit scale always wins; when unspecified, ``uhd_mode`` drops
+        one pyramid level (reference rife_wrapper.py:146 halves its flow
+        resolution for >=4K inputs — the native analog, at the measured
+        coarse-pyramid quality cost on non-UHD content).
+        """
         if timestamps is None:
             timestamps = self.get_default_timestamps(num_frames)
-        if scale == 1.0 and self.uhd_mode:
-            scale = 0.5  # reference rife_wrapper.py:146 (UHD trick)
+        if scale is None:
+            scale = 0.5 if self.uhd_mode else 1.0
         from vfisr_tpu.core.frames import from_batched, to_batched
 
         out = self.interpolate_batch(

@@ -135,9 +135,14 @@ def process_video(
 
     reader = VideoReader(input_path)
     decoder = None
-    with VideoWriter(
-        output_path, target_w, target_h, target_fps
-    ) as writer:
+    try:
+        writer_cm = VideoWriter(output_path, target_w, target_h, target_fps)
+    except Exception:
+        # The reader's close normally happens inside the writer context;
+        # a writer-open failure must not leak the cv2 capture.
+        reader.close()
+        raise
+    with writer_cm as writer:
         decoder = threading.Thread(
             target=_decode_worker, args=(reader, q, max_frames, stop), daemon=True
         )
