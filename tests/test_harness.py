@@ -127,3 +127,8 @@ def test_drop_rows_clip_scoped():
     assert [r.get("clip_id") for r in kept] == ["synth_hard_001"]
     # unscoped drop clears all three
     assert drop_rows(rows, ["adaptive_default"], [0]) == []
+    # legacy rows are LEGACY_CLIP_ID (synth_001) measurements, NOT a
+    # wildcard: a drop scoped to another clip must leave them alone
+    kept_hard = drop_rows(rows, ["adaptive_default"], [0],
+                          clip_id="synth_hard_001")
+    assert [r.get("clip_id") for r in kept_hard] == ["synth_001", None]
