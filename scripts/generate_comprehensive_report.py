@@ -134,8 +134,9 @@ def comprehensive_report(results_path: str, out_path: Path,
         "device-batched jitted programs (harness/device_sweep.py); the "
         "host only decodes/encodes video.",
         "- LPIPS column uses the native AlexNet-LPIPS in the mode recorded "
-        "per row (`lpips_mode`; 'random_features' until official weights "
-        "exist — not comparable to reference LPIPS absolute values).",
+        "per row (`lpips_mode`; 'calibrated_heads' = learned 2AFC-style "
+        "heads, docs/LPIPS_CALIBRATION.md — rank-order validated but not "
+        "comparable to reference LPIPS absolute values).",
         "- Device timing: chained-fori_loop marginal method (bench.py) — "
         "`block_until_ready` is a no-op through the async TPU tunnel.",
         "",
