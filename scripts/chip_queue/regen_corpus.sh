@@ -9,6 +9,18 @@ echo "$(date) regen: extraction begins" >> $LOG
 
 # Committed interval dirs hold meta.json only (frames were not carried over);
 # move them aside so re-extraction recreates the same ids in order.
+# A trap restores any moved dir that extraction failed to repopulate, so a
+# timed-out run can never leave data/clips/*/intervals stripped.
+restore_unextracted() {
+  for c in synth_001 synth_hard_001 synth_hard_002; do
+    if [ -d /tmp/old_intervals_$c ] && [ -z "$(ls -A data/clips/$c/intervals 2>/dev/null)" ]; then
+      rm -rf data/clips/$c/intervals
+      mv /tmp/old_intervals_$c data/clips/$c/intervals
+      echo "$(date) regen: restored pre-existing intervals for $c (extraction failed)" >> $LOG
+    fi
+  done
+}
+trap restore_unextracted EXIT
 for c in synth_001 synth_hard_001 synth_hard_002; do
   if [ -d data/clips/$c/intervals ]; then
     mv data/clips/$c/intervals /tmp/old_intervals_$c

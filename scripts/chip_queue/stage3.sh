@@ -44,7 +44,10 @@ echo "$(date) stage3 FINISHED" >> $LOG
 # completed-8k snapshot so a timeout cut can never strand a worse ckpt.
 echo "$(date) stage3e: safa extension 8000->12000 (guarded)" >> $LOG
 NOW=$(date +%s)
-STOP=$(date -u -d '2026-08-19 00:50:00' +%s)
+# STAGE3E_STOP parameterizes the budget gate for reruns; the default is the
+# historical round-3 cutoff (i.e., with no env override this script is a
+# run record and stage3e will log SKIPPED).
+STOP=$(date -u -d "${STAGE3E_STOP:-2026-08-19 00:50:00}" +%s)
 BUDGET=$(( STOP - NOW ))
 if [ "$BUDGET" -gt 4800 ]; then
   cp weights/safa.npz /tmp/safa_8k.npz

@@ -59,8 +59,18 @@ def heldout_psnr(
     else:
         # Same-model gating (a resumed checkpoint vs its pre-resume
         # snapshot): load an explicit weights file instead of the
-        # registry's default auto-load path.
+        # registry's default auto-load path. Only the trainable sota
+        # models accept a weights path — fail with a clear message
+        # instead of a TypeError for base/traditional models.
+        import inspect
+
         model = get_model(model_name)
+        sig = inspect.signature(model.load)
+        if not sig.parameters:
+            raise SystemExit(
+                f"model '{model_name}' takes no weights path in load() — "
+                "checkpoint gating only applies to trainable models "
+                "(rife/rife_lite/span/safa/vfimamba/vfimamba_s)")
         model.load(weights_path)
     psnrs = []
     for i in range(samples):

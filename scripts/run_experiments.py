@@ -73,7 +73,6 @@ def main():
 
     if args.raw:
         from vfisr_tpu.harness.experiments import (
-            LEGACY_CLIP_ID,
             ExperimentCheckpoint,
             drop_rows,
             generate_reference,
@@ -86,6 +85,11 @@ def main():
         out_dir = _P(args.output_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         checkpoint = ExperimentCheckpoint(out_dir / "experiment_results.json")
+        # Raw-mode rows are tagged with a clip_id derived from the source
+        # path, so a raw run on an arbitrary video can never collide with
+        # (or delete, under --replace) genuine cached-corpus rows that
+        # legacy untagged rows alias to (LEGACY_CLIP_ID = synth_001).
+        raw_clip_id = f"raw_{_P(args.raw).stem}"
         if args.replace:
             # Same semantics as cached mode: refresh the selected cells
             # instead of appending duplicate rows the aggregators would
@@ -93,18 +97,18 @@ def main():
             checkpoint.data["experiments"] = drop_rows(
                 checkpoint.data.get("experiments", []),
                 [e["name"] for e in experiments], [0],
-                clip_id=LEGACY_CLIP_ID)
+                clip_id=raw_clip_id)
             checkpoint.save()
         done = checkpoint.completed_keys() if args.resume else set()
         for experiment in experiments:
-            # raw-mode rows carry no clip_id and load as LEGACY_CLIP_ID
-            if (LEGACY_CLIP_ID, experiment["name"], 0) in done:
+            if (raw_clip_id, experiment["name"], 0) in done:
                 print(f"  [skip] {experiment['name']} (done)")
                 continue
             print(f"  Running {experiment['name']} (legacy mode)...")
             result = run_experiment(keyframes[: args.max_frames or None], midpoints,
                                     experiment, verbose=False)
             result["interval_idx"] = 0
+            result["clip_id"] = raw_clip_id
             result["source"] = args.raw
             checkpoint.append(result)
             print(f"    VFI_PSNR: {result['vfi_psnr_db']} | {result['time_s']}s")
