@@ -90,6 +90,16 @@ def main():
                 int(v) for v in args.final_radius.split(","))
         reg_kw["config"] = dataclasses.replace(base_cfg, **overrides)
     model = get_model(reg_name, **reg_kw)
+    per_block_remat = False
+    if args.model.startswith("vfimamba"):
+        # Per-BiMambaBlock remat instead of the coarse whole-forward
+        # jax.checkpoint: the S6 scan backward temporaries are what OOM'd
+        # batch 8/crop 128 (16.05G of 15.75G); per-block remat stores only
+        # block boundaries, fitting batch >=16 at crop 128.
+        import dataclasses as _dc
+
+        model.cfg = _dc.replace(model.cfg, remat=True)
+        per_block_remat = True
     model.load(weights_path=args.resume)
     # grab the underlying module apply fn
     apply_fn = model._apply
@@ -103,7 +113,8 @@ def main():
         sr_scale = 4 if args.model == "span_x4" else 2
         default_out = f"weights/span_x{sr_scale}.npz"
     else:
-        step_fn = make_train_step(apply_fn, tx)
+        step_fn = make_train_step(apply_fn, tx,
+                                  use_remat=not per_block_remat)
         default_out = f"weights/{args.model}.npz"
 
     out_path = args.out or default_out

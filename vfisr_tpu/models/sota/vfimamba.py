@@ -51,6 +51,21 @@ class MambaConfig:
     layers: int = 12
     conv_k: int = 4
     dtype: jnp.dtype = jnp.float32
+    # Per-trunk-block rematerialization: the S6 backward temporaries
+    # ([B, L, D_inner, S] scan products per direction per layer) are what
+    # OOM'd full-model training at batch 8/crop 128 (16.05G of 15.75G).
+    # nn.remat per BiMambaBlock stores only block-boundary activations
+    # ([B, L, D] — ~100x smaller) and recomputes one block at a time in
+    # the backward pass. Train-time only; param tree is unchanged.
+    remat: bool = False
+    # Coarse-to-fine conv flow refinement below the 1/8 trunk (levels at
+    # 1/4 and 1/2 for refine_levels=2): each level warps the level-res
+    # frames by the current flow and predicts a zero-init flow/mask
+    # residual — the local-motion detail a single bilinear 8x flow
+    # upsample cannot carry (RIFE's coarse-to-fine advantage, grafted
+    # onto the Mamba trunk's global motion field). Zero-init keeps
+    # refine_levels>0 output-identical to a v1 checkpoint at warm start.
+    refine_levels: int = 2
 
 
 def _selective_scan(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -171,16 +186,17 @@ class VFIMambaNet(nn.Module):
         feats = feats + t_emb[:, None, None, None, :]
 
         x = feats
+        Block = nn.remat(BiMambaBlock) if cfg.remat else BiMambaBlock
         for i in range(cfg.layers):
             if i % 2 == 0:
                 # horizontal scan: rows are batch, interleave frames along W
                 seq = x.reshape(n * h8, w8 * 2, cfg.d_model)
-                seq = BiMambaBlock(cfg, name=f"block{i}")(seq)
+                seq = Block(cfg, name=f"block{i}")(seq)
                 x = seq.reshape(n, h8, w8, 2, cfg.d_model)
             else:
                 # vertical scan: columns are batch, interleave frames along H
                 xt = x.transpose(0, 2, 1, 3, 4).reshape(n * w8, h8 * 2, cfg.d_model)
-                xt = BiMambaBlock(cfg, name=f"block{i}")(xt)
+                xt = Block(cfg, name=f"block{i}")(xt)
                 x = xt.reshape(n, w8, h8, 2, cfg.d_model).transpose(0, 2, 1, 3, 4)
 
         merged_feat = x.reshape(n, h8, w8, 2 * cfg.d_model)
@@ -190,9 +206,50 @@ class VFIMambaNet(nn.Module):
             name="decoder",
         )
         out = dec(merged_feat)  # flow(4) + mask(1) at 1/8
-        out = jax.image.resize(out, (n, h, w, 5), "bilinear")
-        flow = out[..., :4] * 8.0
-        mask = nn.sigmoid(out[..., 4:5])
+
+        if cfg.refine_levels == 0:
+            # v1 path: single bilinear upsample of the 1/8 estimate
+            out = jax.image.resize(out, (n, h, w, 5), "bilinear")
+            flow = out[..., :4] * 8.0
+            mask = nn.sigmoid(out[..., 4:5])
+        else:
+            # Coarse-to-fine refinement: flow kept in FULL-RES pixel
+            # units throughout; each level warps level-res frames by the
+            # current flow and predicts a zero-init residual.
+            flow_l = out[..., :4] * 8.0  # [N, h8, w8, 4]
+            mlogit = out[..., 4:5]
+            t_map = jnp.reshape(jnp.asarray(timestep, img0.dtype), (-1, 1, 1, 1))
+            for lvl in range(cfg.refine_levels):
+                s = 8 // (2 ** (lvl + 1))  # 4, 2, (1)
+                hs, ws = h // s, w // s
+                flow_l = jax.image.resize(flow_l, (n, hs, ws, 4), "bilinear")
+                mlogit = jax.image.resize(mlogit, (n, hs, ws, 1), "bilinear")
+                i0_l = resize(img0, (hs, ws), "area")
+                i1_l = resize(img1, (hs, ws), "area")
+                w0_l = backward_warp(
+                    i0_l, flow_l[..., 0:2] / float(s), 1.0, border="replicate")
+                w1_l = backward_warp(
+                    i1_l, flow_l[..., 2:4] / float(s), 1.0, border="replicate")
+                inp = jnp.concatenate(
+                    [i0_l, i1_l, w0_l, w1_l, flow_l / 8.0, mlogit,
+                     jnp.broadcast_to(t_map, (n, hs, ws, 1))], axis=-1)
+                # explicit names: the v1 checkpoint's conv params are
+                # auto-numbered (Conv_0..Conv_6 in creation order); named
+                # level convs keep that numbering stable so v1 weights
+                # still map onto the encoder/decoder/final-refine convs.
+                d = conv(48, (3, 3), padding=1,
+                         name=f"refine_lvl{lvl}_c0")(inp)
+                d = nn.silu(d)
+                d = conv(48, (3, 3), padding=1,
+                         name=f"refine_lvl{lvl}_c1")(d)
+                d = nn.silu(d)
+                d = conv(5, (3, 3), padding=1,
+                         kernel_init=nn.initializers.zeros,
+                         name=f"refine_lvl{lvl}_c2")(d)
+                flow_l = flow_l + d[..., :4] * float(s)
+                mlogit = mlogit + d[..., 4:5]
+            flow = jax.image.resize(flow_l, (n, h, w, 4), "bilinear")
+            mask = nn.sigmoid(jax.image.resize(mlogit, (n, h, w, 1), "bilinear"))
         warped0 = backward_warp(img0, flow[..., 0:2], 1.0, border="replicate")
         warped1 = backward_warp(img1, flow[..., 2:4], 1.0, border="replicate")
         merged = warped0 * mask + warped1 * (1.0 - mask)
@@ -260,7 +317,10 @@ class VFIMambaModel(BaseModel):
         if weights_path:
             from vfisr_tpu.utils.checkpoint import load_params
 
-            self.params = load_params(weights_path, self.params)
+            # partial: a v1 (pre-refinement-pyramid) checkpoint warm-starts
+            # the extended net — missing refine_lvl* stages stay zero-init,
+            # which makes the extended net output-identical to v1.
+            self.params = load_params(weights_path, self.params, partial=True)
         self._apply = jax.jit(
             lambda p, i0, i1, t: module.apply({"params": p}, i0, i1, t)
         )

@@ -53,9 +53,17 @@ def save_params(path: str, params: Any) -> None:
     os.replace(tmp, path)
 
 
-def load_params(path: str, like: Any = None) -> dict:
+def load_params(path: str, like: Any = None, partial: bool = False) -> dict:
     """Load params saved by save_params. If ``like`` is given, validates that
-    the loaded tree has the same structure/shapes."""
+    the loaded tree has the same structure/shapes.
+
+    partial=True (requires ``like``): keys missing from the checkpoint keep
+    their ``like`` (fresh-init) values instead of raising — the warm-start
+    path for architectures extended with zero-init stages (e.g. the
+    VFIMamba refinement pyramid), where a v1 checkpoint + fresh zero-init
+    extras is output-identical to the v1 model. Present keys must still
+    match shapes exactly.
+    """
     data = np.load(path)
     tree = _unflatten({k: data[k] for k in data.files})
     if like is not None:
@@ -63,10 +71,22 @@ def load_params(path: str, like: Any = None) -> dict:
         got_flat = _flatten(tree)
         missing = set(ref_flat) - set(got_flat)
         if missing:
-            raise ValueError(f"checkpoint {path} missing keys: {sorted(missing)[:5]}...")
+            if not partial:
+                raise ValueError(
+                    f"checkpoint {path} missing keys: {sorted(missing)[:5]}...")
+            import warnings
+
+            warnings.warn(
+                f"checkpoint {path}: {len(missing)} key(s) absent, kept at "
+                f"fresh init (e.g. {sorted(missing)[0]})", stacklevel=2)
+            for k in missing:
+                got_flat[k] = ref_flat[k]
         for k, v in ref_flat.items():
             if got_flat[k].shape != v.shape:
                 raise ValueError(
                     f"checkpoint {path} key {k}: shape {got_flat[k].shape} != {v.shape}"
                 )
+        if partial:
+            # keep exactly the model's key set (drop checkpoint extras)
+            return _unflatten({k: got_flat[k] for k in ref_flat})
     return tree
