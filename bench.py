@@ -145,12 +145,43 @@ def measure() -> dict:
     per_step = (t2 - t1) / (k2 - k1)
     interp_fps = t_count * PAIRS / per_step if per_step > 0 else float("inf")
 
-    return {
+    record = {
         "metric": METRIC,
         "value": round(interp_fps, 2),
         "unit": "fps",
         "vs_baseline": round(interp_fps / BASELINE_INTERP_FPS, 2),
     }
+
+    # MFU: XLA cost analysis of the single flagship step (the program the
+    # fori_loop body repeats), so fps can be judged against chip peak —
+    # the profiling methodology the reference documents but never
+    # implements (/root/reference/INFO.md:564-607). Pallas custom calls
+    # report 0 flops, so this counts the conv/matmul work (the MXU side);
+    # the quoted MFU is therefore a slight undercount, never an overcount.
+    try:
+        hist0, hcnt0 = init_history(PAIRS)
+        compiled = jax.jit(
+            lambda a, b, h, c: step(a, b, h, c)
+        ).lower(f0, f1, hist0, hcnt0).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0 and per_step > 0:
+            peak = float(os.environ.get(
+                "VFISR_BENCH_PEAK_FLOPS",
+                197e12,  # TPU v5e (v5 lite) bf16 peak: 197 TFLOP/s
+            ))
+            achieved = flops / per_step
+            record.update(
+                flops_per_pair=round(flops / PAIRS),
+                achieved_tflops=round(achieved / 1e12, 3),
+                mfu=round(achieved / peak, 4),
+            )
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        record["mfu_unavailable"] = str(e)[:120]
+
+    return record
 
 
 def _child_main() -> int:

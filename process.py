@@ -39,6 +39,11 @@ def main():
     parser.add_argument("--max-frames", type=int, default=0, help="Cap input frames (0=all)")
     parser.add_argument("--stats-out", default=None,
                         help="Write the run's stage stats dict as JSON here")
+    parser.add_argument("--readback", default="auto",
+                        choices=["auto", "rgb", "yuv420"],
+                        help="device->host frame format; yuv420 halves the "
+                        "readback bytes (lossless end-to-end: the encoder "
+                        "is 4:2:0 anyway). auto = yuv420 when dims allow")
     parser.add_argument("--platform", default="auto", choices=["auto", "cpu"],
                         help="force JAX to CPU (a sitecustomize pins "
                         "JAX_PLATFORMS, so an env var cannot; use when the "
@@ -67,6 +72,7 @@ def main():
         target_fps=args.target_fps,
         target_resolution=target_res,
         max_frames=args.max_frames,
+        readback=args.readback,
     )
     if args.stats_out:
         import json

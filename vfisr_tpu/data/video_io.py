@@ -182,6 +182,16 @@ class VideoWriter:
         else:
             self._writer.write(cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR))
 
+    def write_bgr(self, frame_bgr: np.ndarray):
+        """Write one HWC uint8 BGR frame (skips the RGB->BGR convert for
+        callers that already hold BGR, e.g. the I420-readback pipeline)."""
+        if self._proc is not None:
+            self._proc.stdin.write(
+                cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+                .astype(np.uint8).tobytes())
+        else:
+            self._writer.write(frame_bgr)
+
     def close(self, timeout: float = 120.0):
         """Finalize (reference guards ffmpeg wait with a 120 s timeout,
         run_experiments.py:1005-1009)."""

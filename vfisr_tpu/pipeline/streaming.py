@@ -32,6 +32,54 @@ import numpy as np
 
 from vfisr_tpu.data.video_io import VideoReader, VideoWriter, probe_video
 
+_pack_i420 = None
+
+
+def _get_pack_i420():
+    """Jitted device-side RGB -> planar I420 packer (lazy, needs jax).
+
+    Deployment-scale runs through the TPU tunnel are READBACK-bound
+    (~8 MB/s for materialized frames; outputs/deploy_r3/stats.json shows
+    device_materialize 1650 s vs encode 53 s). I420 is 1.5 bytes/px vs
+    RGB's 3 — and end-to-end lossless here, because the video encoder
+    (mp4v / libx264 yuv420p) subsamples chroma 4:2:0 anyway. Constants are
+    ITU-R BT.601 video range, the inverse of cv2.COLOR_YUV2BGR_I420.
+    """
+    global _pack_i420
+    if _pack_i420 is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def pack(rgb_u8):  # [F,H,W,3] uint8 -> [F, 3H//2, W] uint8
+            x = rgb_u8.astype(jnp.float32)
+            r, g, b = x[..., 0], x[..., 1], x[..., 2]
+            y = 16.0 + 0.257 * r + 0.504 * g + 0.098 * b
+            u = 128.0 - 0.148 * r - 0.291 * g + 0.439 * b
+            v = 128.0 + 0.439 * r - 0.368 * g - 0.071 * b
+            f, h, w = y.shape
+            # 2x2 mean chroma subsample (what the 4:2:0 encoder does anyway)
+            u = u.reshape(f, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+            v = v.reshape(f, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+            # I420 raster layout: Y plane (h rows of w), then U then V as
+            # (h/2 x w/2) planes = h/4 packed rows of width w each
+            u = u.reshape(f, h // 4, w)
+            v = v.reshape(f, h // 4, w)
+            out = jnp.concatenate([y, u, v], axis=1)
+            return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+        _pack_i420 = pack
+    return _pack_i420
+
+
+def _start_host_copy(arr) -> None:
+    """Kick off the async D2H transfer so readback of pair i overlaps the
+    device's compute of pair i+1 (np.asarray later just completes it)."""
+    try:
+        arr.copy_to_host_async()
+    except (AttributeError, RuntimeError):
+        pass
+
 
 def _build_model(method: Optional[str], vfi_model: Optional[str], sr_model: Optional[str]):
     from vfisr_tpu.models.base import TwoStageModel
@@ -82,6 +130,7 @@ def process_video(
     target_resolution: Tuple[int, int] = (2560, 1440),
     max_frames: int = 0,
     queue_depth: int = 8,
+    readback: str = "auto",
 ) -> dict:
     """Run the full streaming pipeline; returns throughput + stage stats."""
     import jax.numpy as jnp
@@ -133,6 +182,27 @@ def process_video(
                               interpolation=cv2.INTER_LANCZOS4)
         return frame_u8
 
+    # readback format: 'yuv420' halves D2H bytes (losslessly — the encoder
+    # is 4:2:0 regardless); decided at the first device output, when the
+    # frame dims are known (I420 packing needs H%4 == 0 and W%2 == 0).
+    use_yuv: Optional[bool] = None if readback == "auto" else (
+        readback == "yuv420")
+    readback_bytes = 0
+
+    def emit_host_frames(host: np.ndarray, writer, yuv: bool) -> int:
+        """Write materialized frames (RGB [F,H,W,3] or I420 [F,3H/2,W])."""
+        import cv2
+
+        wrote = 0
+        for f in host:
+            if yuv:
+                f = cv2.cvtColor(f, cv2.COLOR_YUV2BGR_I420)
+                writer.write_bgr(fit(f))
+            else:
+                writer.write(fit(f))
+            wrote += 1
+        return wrote
+
     reader = VideoReader(input_path)
     decoder = None
     try:
@@ -167,14 +237,22 @@ def process_video(
                     # dispatch pair i (async) BEFORE materializing pair i-1:
                     # the device computes while the host encodes
                     this_dev = device_step(prev, curr)
+                    if use_yuv is None:
+                        h_out, w_out = this_dev.shape[1:3]
+                        use_yuv = (h_out % 4 == 0) and (w_out % 2 == 0)
+                    if use_yuv:
+                        this_dev = _get_pack_i420()(this_dev)
+                    # start the D2H now so the tunnel transfer of pair i
+                    # overlaps compute of pair i+1 and encode of pair i-1
+                    _start_host_copy(this_dev)
                     if pending_dev is not None:
                         td = time.time()
                         host_frames = np.asarray(pending_dev)  # sync point
                         device_wait_s += time.time() - td
+                        readback_bytes += host_frames.nbytes
                         tw = time.time()
-                        for f in host_frames:
-                            writer.write(fit(f))
-                            out_frames += 1
+                        out_frames += emit_host_frames(
+                            host_frames, writer, use_yuv)
                         encode_s += time.time() - tw
                     pending_dev = this_dev
                 else:
@@ -193,9 +271,9 @@ def process_video(
                 td = time.time()
                 host_frames = np.asarray(pending_dev)
                 device_wait_s += time.time() - td
-                for f in host_frames:
-                    writer.write(fit(f))
-                    out_frames += 1
+                readback_bytes += host_frames.nbytes
+                out_frames += emit_host_frames(
+                    host_frames, writer, bool(use_yuv))
             # final endpoint
             last = model.upscale(prev, scale)
             writer.write(fit(last))
@@ -231,6 +309,8 @@ def process_video(
         "decode_wait_s": round(decode_wait_s, 3),
         "device_materialize_s": round(device_wait_s, 3),
         "encode_s": round(encode_s, 3),
+        "readback_format": "yuv420" if use_yuv else "rgb",
+        "readback_mb": round(readback_bytes / 1e6, 1),
         # fraction of wall time the device had work in flight (dispatch
         # overlaps encode; decode-wait and encode are host-blocked time)
         "device_busy_fraction": round(
