@@ -1,10 +1,16 @@
 """AdaptiveRouter / AdaptivePipeline behavior tests (reference has none —
 its pipeline needs GPU + external repos)."""
 
+import json
+
 import numpy as np
 import pytest
 
-from vfisr_tpu.models.novel.adaptive_pipeline import AdaptiveRouter, RoutingStats
+from vfisr_tpu.models.novel.adaptive_pipeline import (
+    AdaptivePipeline,
+    AdaptiveRouter,
+    RoutingStats,
+)
 
 
 @pytest.fixture(scope="module")
@@ -128,3 +134,64 @@ def test_process_pair_hud_composite_writable():
         # composited HUD pixels come verbatim from a source frame
         mid = res.frames[2]
         assert np.abs(mid[125:135, 20:50].astype(int) - 200).max() <= 2
+
+
+class TestRouterQualityGate:
+    """Calibrated quality gate (weights/router_gate.json): hard pairs go
+    to the heavy expert only while it measurably outranks the fast one,
+    and the quality-aware sweep variant bounds its blend route by the
+    measured blend-vs-RIFE crossover (round-3 verdict Missing #1)."""
+
+    def _write_gate(self, tmp_path, monkeypatch, payload):
+        import vfisr_tpu.utils.router_gate as rg
+
+        p = tmp_path / "router_gate.json"
+        p.write_text(json.dumps(payload))
+        monkeypatch.setattr(rg, "DEFAULT_PATH", p)
+        rg.clear_cache()
+        return rg
+
+    def test_uncalibrated_preserves_reference_behavior(self, tmp_path,
+                                                       monkeypatch):
+        import vfisr_tpu.utils.router_gate as rg
+
+        monkeypatch.setattr(rg, "DEFAULT_PATH", tmp_path / "absent.json")
+        rg.clear_cache()
+        assert rg.heavy_expert_allowed() is True
+        assert rg.blend_crossover_px() is None
+
+    def test_inverted_hierarchy_blocks_heavy_expert(self, tmp_path,
+                                                    monkeypatch):
+        rg = self._write_gate(tmp_path, monkeypatch, {
+            "experts": {"rife": 32.97, "vfimamba": 29.76},
+            "blend_vs_rife_crossover_px": 0.42,
+        })
+        assert rg.heavy_expert_allowed("vfimamba", "rife") is False
+        assert rg.blend_crossover_px() == 0.42
+
+    def test_restored_hierarchy_allows_heavy_expert(self, tmp_path,
+                                                    monkeypatch):
+        rg = self._write_gate(tmp_path, monkeypatch, {
+            "experts": {"rife": 32.97, "vfimamba": 33.2},
+        })
+        assert rg.heavy_expert_allowed("vfimamba", "rife") is True
+
+    def test_pipeline_load_respects_gate(self, tmp_path, monkeypatch):
+        self._write_gate(tmp_path, monkeypatch, {
+            "experts": {"rife": 32.97, "vfimamba": 29.76},
+        })
+        pipe = AdaptivePipeline(enable_vfimamba=True, quality_aware=True)
+        pipe.load()
+        assert pipe.enable_vfimamba is False
+        pipe2 = AdaptivePipeline(enable_vfimamba=True, quality_aware=False)
+        pipe2.load()
+        assert pipe2.enable_vfimamba is True
+
+    def test_quality_aware_sweep_config(self):
+        from vfisr_tpu.harness.experiments import HEAVY_EXPERIMENTS
+
+        byname = {e["name"]: e for e in HEAVY_EXPERIMENTS}
+        assert byname["adaptive_aggressive"].get("quality_aware") is True
+        # speed-priority tiers keep pure reference threshold semantics
+        assert not byname["adaptive_default"].get("quality_aware")
+        assert not byname["adaptive_conservative"].get("quality_aware")

@@ -200,3 +200,26 @@ class TestRIFEScale:
         assert _rife_native_scale(0.5) == 1.0   # reference default = trained point
         assert _rife_native_scale(0.25) == 0.5  # fast mode: one level coarser
         assert _rife_native_scale(1.0) == 1.0   # capped at full pyramid
+
+
+class TestVramPeakReporting:
+    """vram_peak_mb must be real (reference base.py:140-156 reports CUDA
+    peak per run; VERDICT r3 found every committed row at 0.0)."""
+
+    def test_process_pair_reports_nonzero_peak(self):
+        from vfisr_tpu.models.traditional.baselines import LanczosBaseline
+
+        m = LanczosBaseline(device="cpu")
+        m.load()
+        rng = np.random.default_rng(0)
+        f0 = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        f1 = np.roll(f0, 2, axis=1)
+        res = m.process_pair(f0, f1, num_intermediate=1, target_scale=1.333)
+        assert res.vram_peak_mb > 0, res.vram_peak_mb
+
+    def test_peak_is_monotone_high_water(self):
+        from vfisr_tpu.models.base import device_peak_mb
+
+        a = device_peak_mb()
+        b = device_peak_mb()
+        assert b >= a >= 0

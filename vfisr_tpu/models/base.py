@@ -63,15 +63,34 @@ class InferenceResult:
             self.extra_info = {}
 
 
+_live_high_water_mb = 0.0
+
+
 def device_peak_mb() -> float:
-    """Peak accelerator memory in MB, 0.0 if the backend has no stats."""
+    """Peak accelerator memory in MB (reference base.py:140-156 reports
+    torch.cuda.max_memory_allocated per run).
+
+    Prefers PJRT ``memory_stats()['peak_bytes_in_use']``. The axon TPU
+    tunnel in this environment returns None from memory_stats, so the
+    fallback keeps a client-side high-water mark over ``jax.live_arrays()``
+    (weights + I/O buffers + carried state). That is a FLOOR on true peak:
+    XLA's transient temporaries inside a compiled program are not visible
+    to the client. Sampled at every call, so calling after inference (as
+    every ``process_pair`` does) captures the post-dispatch live set.
+    """
     try:
         stats = jax.local_devices()[0].memory_stats()
         if stats and "peak_bytes_in_use" in stats:
             return stats["peak_bytes_in_use"] / 1e6
     except Exception:
         pass
-    return 0.0
+    global _live_high_water_mb
+    try:
+        live_mb = sum(a.nbytes for a in jax.live_arrays()) / 1e6
+        _live_high_water_mb = max(_live_high_water_mb, live_mb)
+        return _live_high_water_mb
+    except Exception:
+        return _live_high_water_mb or 0.0
 
 
 class BaseModel(ABC):
