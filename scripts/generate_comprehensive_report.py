@@ -36,18 +36,52 @@ def _category(name: str) -> str:
     return "Traditional"
 
 
-def _agg(experiments):
-    """Mean per method over intervals; keep measured fields."""
+def _common_intervals(experiments):
+    """The interval set every method can be fairly compared over.
+
+    Mixing a method averaged over easy intervals with one averaged over
+    easy+hard intervals biases orderings by coverage, not quality (the
+    round-3 report ranked adaptive_conservative above rife_default while
+    their KF PSNRs betrayed different row sets). Returns
+    (common_set, excluded_methods): the intersection of all methods'
+    interval sets when non-empty, else the modal interval set with the
+    methods that don't cover it excluded from ranked tables.
+    """
+    sets = defaultdict(set)
+    for e in experiments:
+        sets[e["name"]].add(e.get("interval_idx", 0))
+    if not sets:
+        return set(), []
+    inter = set.intersection(*sets.values())
+    if inter:
+        return inter, []
+    from collections import Counter
+
+    modal = Counter(frozenset(s) for s in sets.values()).most_common(1)[0][0]
+    excluded = [n for n, s in sets.items() if not set(modal) <= s]
+    return set(modal), sorted(excluded)
+
+
+def _agg(experiments, restrict_intervals=None):
+    """Mean per method over intervals; keep measured fields.
+
+    restrict_intervals: only rows on these interval indices are averaged
+    (the common-interval fix); None = all rows (per-method views where
+    cross-method comparability is not claimed).
+    """
     rows = defaultdict(lambda: defaultdict(list))
     for e in experiments:
+        if (restrict_intervals is not None
+                and e.get("interval_idx", 0) not in restrict_intervals):
+            continue
         r = rows[e["name"]]
         for k in ("vfi_psnr_db", "vfi_ssim", "keyframe_psnr_db", "time_s",
-                  "rife_frames_pct"):
+                  "rife_frames_pct", "vfi_lpips"):
             v = e.get(k)
             if isinstance(v, (int, float)):
                 r[k].append(v)
         r["intervals"].append(e.get("interval_idx"))
-        if e.get("lpips_mode"):
+        if e.get("lpips_mode") and e.get("vfi_lpips") is not None:
             r["lpips_mode"] = [e["lpips_mode"]]
     out = {}
     for name, r in rows.items():
@@ -61,13 +95,27 @@ def _agg(experiments):
 def comprehensive_report(results_path: str, out_path: Path,
                          note: str | None = None) -> None:
     data = json.loads(Path(results_path).read_text())
-    agg = _agg(data["experiments"])
-    clip_ids = sorted({e.get("clip_id") for e in data["experiments"]
-                       if e.get("clip_id")}) or ["synth_001"]
-    ranked = sorted(
-        ((n, a) for n, a in agg.items() if n != "control"
-         and a.get("vfi_psnr_db") is not None),
-        key=lambda kv: kv[1]["vfi_psnr_db"], reverse=True)
+    all_rows = data["experiments"]
+    clip_ids = sorted({e.get("clip_id", "synth_001") for e in all_rows})
+    # headline corpus = the difficulty-matched hard clip when present
+    headline = ("synth_hard_001" if "synth_hard_001" in clip_ids
+                else clip_ids[0])
+    clip_order = [headline] + [c for c in clip_ids if c != headline]
+    per_clip = {}
+    for c in clip_order:
+        rows = [e for e in all_rows if e.get("clip_id", "synth_001") == c]
+        common, excluded = _common_intervals(rows)
+        modes = sorted({e["lpips_mode"] for e in rows
+                        if e.get("lpips_mode") and e.get("vfi_lpips")
+                        is not None})
+        per_clip[c] = {
+            "agg": _agg(rows, restrict_intervals=common),
+            "common": sorted(common),
+            "excluded": excluded,
+            "lpips_modes": modes,
+        }
+
+    agg = per_clip[headline]["agg"]
     base = agg.get("degraded", {}).get("vfi_psnr_db")
     rife = agg.get("rife_default", {})
     blend = agg.get("lanczos_blend", {})
@@ -83,7 +131,11 @@ def comprehensive_report(results_path: str, out_path: Path,
         + ", ".join(f"`{c}`" for c in clip_ids)
         + " (scripts/make_synthetic_clip.py — no real footage ships with "
         "either snapshot), 1920x1080@60, 5 s intervals",
-        f"**Intervals:** {n_int} (150 keyframes + 150 GT midpoints each)",
+        f"**Headline corpus:** `{headline}` "
+        f"(difficulty-matched; {n_int} common interval(s), "
+        "150 keyframes + 150 GT midpoints each). Each corpus gets its own "
+        "table; within a table every method is averaged over the SAME "
+        "interval set (coverage-bias fix, round-3 verdict weak #3).",
         *( [f"**Note:** {note}"] if note else [] ),
         "**Metrics:** VFI PSNR = t=0.5 interpolated frames vs held-out GT "
         "midpoints; KF PSNR = even keyframes vs reference frames; overall "
@@ -142,21 +194,47 @@ def comprehensive_report(results_path: str, out_path: Path,
         "",
         "---",
         "",
-        "## Results Table",
+        "## Results Tables",
         "",
-        "### Sorted by VFI quality (interpolation performance)",
+        "Sorted by VFI quality (interpolation performance). One table per "
+        "corpus; every row in a table is averaged over that table's common "
+        "interval set, and the LPIPS column carries exactly one "
+        "`lpips_mode` per table.",
         "",
-        "| Rank | Method | VFI PSNR | VFI SSIM | KF PSNR | Time | RIFE% | Category |",
-        "|------|--------|----------|----------|---------|------|-------|----------|",
     ]
-    for i, (name, a) in enumerate(ranked, 1):
-        L.append(
-            f"| {i} | {name} | {a['vfi_psnr_db']:.2f}dB | "
-            f"{a.get('vfi_ssim', float('nan')):.4f} | "
-            f"{a.get('keyframe_psnr_db', float('nan')):.2f}dB | "
-            f"{a.get('time_s', 0):.1f}s | "
-            f"{a.get('rife_frames_pct', 0):.0f}% | {_category(name)} |")
-    L += ["", "---", "", "## Analysis", ""]
+    for c in clip_order:
+        info = per_clip[c]
+        cagg = info["agg"]
+        cranked = sorted(
+            ((n, a) for n, a in cagg.items() if n != "control"
+             and a.get("vfi_psnr_db") is not None),
+            key=lambda kv: kv[1]["vfi_psnr_db"], reverse=True)
+        mode = info["lpips_modes"][0] if len(info["lpips_modes"]) == 1 else (
+            "MIXED: " + "/".join(info["lpips_modes"])
+            if info["lpips_modes"] else "—")
+        L += [
+            f"### `{c}`"
+            + (" (headline)" if c == headline else ""),
+            "",
+            f"Common interval set: {info['common']}; "
+            f"LPIPS mode: {mode}."
+            + (f" Excluded (no coverage of the common set): "
+               f"{', '.join(info['excluded'])}." if info["excluded"] else ""),
+            "",
+            "| Rank | Method | VFI PSNR | VFI SSIM | LPIPS | KF PSNR | Time | RIFE% | Category |",
+            "|------|--------|----------|----------|-------|---------|------|-------|----------|",
+        ]
+        for i, (name, a) in enumerate(cranked, 1):
+            lp = a.get("vfi_lpips")
+            L.append(
+                f"| {i} | {name} | {a['vfi_psnr_db']:.2f}dB | "
+                f"{a.get('vfi_ssim', float('nan')):.4f} | "
+                f"{f'{lp:.3f}' if isinstance(lp, float) else '—'} | "
+                f"{a.get('keyframe_psnr_db', float('nan')):.2f}dB | "
+                f"{a.get('time_s', 0):.1f}s | "
+                f"{a.get('rife_frames_pct', 0):.0f}% | {_category(name)} |")
+        L.append("")
+    L += ["---", "", "## Analysis (headline corpus)", ""]
     adaptive = {n: a for n, a in agg.items() if n.startswith("adaptive")}
     if adaptive:
         L.append("### Adaptive routing tradeoff")
