@@ -105,6 +105,7 @@ def test_routing_stats():
     assert RoutingStats().to_dict() == {"total": 0}
 
 
+@pytest.mark.slow
 def test_process_pair_hud_composite_writable():
     """Regression: HUD compositing must not assume interpolated frames are
     writable (device-backed arrays are read-only views)."""

@@ -112,6 +112,7 @@ class TestParityWithHostLoop:
         assert "ughi" in DEVICE_METHODS  # innovative methods are on-device
 
 
+@pytest.mark.slow
 class TestInnovativeMethodsDevicePath:
     """UAFI/UGHI/MCAR batched device branches vs the per-frame host loop.
 

@@ -18,6 +18,7 @@ def _textured(rng, h=240, w=320):
 
 
 @pytest.mark.parametrize("shift", [(3.0, 1.5), (-5.0, 2.0)])
+@pytest.mark.slow
 def test_translation_parity(rng, shift):
     img = _textured(rng)
     M = np.float32([[1, 0, shift[0]], [0, 1, shift[1]]])
@@ -61,6 +62,7 @@ def test_calc_motion_params(rng):
     assert epe[c].mean() < 0.15
 
 
+@pytest.mark.slow
 def test_batched_matches_single(rng):
     img = _textured(rng, 120, 160)
     M = np.float32([[1, 0, 1.0], [0, 1, 1.0]])

@@ -89,6 +89,7 @@ class TestFlagshipStep:
 
 
 class TestFlagshipModel:
+    @pytest.mark.slow
     def test_registry_contract(self):
         from vfisr_tpu.models.registry import get_model, list_models
 

@@ -99,6 +99,7 @@ def test_mcar_tiers(pair):
     assert tier == "flow"
 
 
+@pytest.mark.slow
 def test_ughi_returns_uncertainty(pair):
     f0, f1 = pair
     mid, unc = ughi_interpolate(f0, f1, 0.5)

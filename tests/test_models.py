@@ -150,6 +150,7 @@ class TestNeural:
         out2x = m.upscale(f0, 2.0)
         assert out2x.shape == (192, 256, 3)
 
+    @pytest.mark.slow
     def test_vfimamba_small_forward(self, small_pair):
         f0, f1 = small_pair
         m = get_model("vfimamba_s")

@@ -29,6 +29,7 @@ def test_shard_batch_places_data_axis():
     assert sh.shard_shape(sharded["x"].shape)[0] == 2  # 16/8 per device
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step_matches_single_device():
     """The sharded train step must produce the same loss/params as unsharded."""
     from vfisr_tpu.models.sota.rife import IFNet, RIFEConfig

@@ -52,6 +52,7 @@ class TestStreaming:
         assert (n, w, h) == (21, 170, 128)
         assert stats["device_busy_fraction"] >= 0
 
+    @pytest.mark.slow
     def test_flagship_uses_fused_step(self, tiny_clip, tmp_path):
         from vfisr_tpu.pipeline.streaming import process_video
 
