@@ -35,8 +35,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def measure_crossover(clip: str, pairs: int, width: int, height: int,
-                      rife_scale: float = 0.5) -> dict:
+def _measure_rows(clip: str, pairs: int, width: int, height: int,
+                  rife_scale: float = 0.5) -> list:
     import cv2
     import numpy as np
 
@@ -81,6 +81,18 @@ def measure_crossover(clip: str, pairs: int, width: int, height: int,
             })
         prev, prev_gray, prev_gt = out, gray, gt
     cap.release()
+    return rows
+
+
+def measure_crossover(clips: str, pairs: int, width: int, height: int,
+                      rife_scale: float = 0.5) -> dict:
+    """Pool pairs from every clip in the comma list (the gate must see
+    both the textured-hard regime AND frozen-world static pairs — the
+    routing profile's static blocks are where blend actually wins)."""
+    rows = []
+    for clip in clips.split(","):
+        rows.extend(_measure_rows(clip.strip(), pairs, width, height,
+                                  rife_scale))
     if not rows:
         raise SystemExit("no pairs measured")
 
@@ -109,7 +121,11 @@ def measure_crossover(clip: str, pairs: int, width: int, height: int,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--clip", default="data/raw/synth_calib.mp4")
+    ap.add_argument(
+        "--clip",
+        default="data/raw/synth_calib.mp4,data/raw/synth_calib_routing.mp4",
+        help="comma list of held-out clips; pairs are pooled so the gate "
+        "sees textured-hard AND frozen-static regimes")
     ap.add_argument("--pairs", type=int, default=60)
     ap.add_argument("--samples", type=int, default=24,
                     help="held-out synthetic scenes for the expert PSNRs")
