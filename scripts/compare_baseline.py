@@ -171,6 +171,20 @@ def section(title: str, blurb: str, ours: dict) -> list[str]:
                 f"{o.get('time_s'):.1f}" if o.get("time_s") else "—",
             )
         )
+    aa = (ours.get("adaptive_aggressive", {}) or {}).get("vfi_psnr")
+    rd = (ours.get("rife_default", {}) or {}).get("vfi_psnr")
+    if aa is not None and rd is not None:
+        verdict = ("matches the reference's adaptive>=rife result"
+                   if aa >= rd else
+                   "INVERTED vs the reference's adaptive>=rife result")
+        lines += [
+            "",
+            f"Novel-method headline: adaptive_aggressive {aa:.2f} vs "
+            f"rife_default {rd:.2f} dB ({aa - rd:+.2f}) — {verdict} "
+            "(ref gap +0.02, COMPREHENSIVE_REPORT.md:58-59; the pair is "
+            "excluded from the concordance tally because the ref gap is "
+            "<0.05 dB).",
+        ]
     conc, tot, discords, n_common = concordance(ours)
     if tot:
         lines += ["",
