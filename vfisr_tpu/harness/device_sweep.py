@@ -329,6 +329,17 @@ def run_experiment_batched(
     edge = float(experiment.get("edge", 0))
     rife_scale = float(experiment.get("rife_scale", 0.5))
     motion_thresh = float(experiment.get("motion_thresh", 3.0))
+    quality_aware = bool(experiment.get("quality_aware", False))
+    if quality_aware:
+        # quality-priority adaptive tier: the blend route is additionally
+        # bounded by the MEASURED blend-vs-RIFE crossover (held-out
+        # calibration, weights/router_gate.json) — same gate as the host
+        # loop in harness/experiments.py
+        from vfisr_tpu.utils.router_gate import blend_crossover_px
+
+        _cx = blend_crossover_px()
+        if _cx is not None:
+            motion_thresh = min(motion_thresh, _cx)
     mcar_low = float(experiment.get("mcar_low", 0.3))
     mcar_high = float(experiment.get("mcar_high", 0.7))
     exp_fps = experiment.get("quality_fps", QUALITY_LEVELS[DEFAULT_QUALITY]["fps"])
@@ -490,5 +501,8 @@ def run_experiment_batched(
         "vfi_method": vfi,
         "sr_method": sr_method,
         "edge_strength": edge,
+        "quality_aware": quality_aware,
+        "blend_thresh_effective": (round(motion_thresh, 3)
+                                   if vfi == "adaptive" else None),
         "device_batched": True,
     }
