@@ -34,7 +34,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def study_family(clip: str, pairs: int, lp, rife_scale: float = 0.5) -> dict:
+def study_family(clip: str, pairs: int, lp, rife_scale: float = 0.5,
+                 width: int = 2560, height: int = 1440) -> dict:
+    """The SWEEP'S exact operating point (harness run_experiment: degrade
+    960x540 -> lanczos SR to the quality resolution -> VFI there, scored
+    against the true GT midpoint upscaled as eval_vfi does). An earlier
+    revision compared at the degraded 540p resolution against degraded
+    GT — a different regime whose ordering contradicts the committed
+    sweep rows and says nothing about them."""
     import cv2
     import numpy as np
 
@@ -56,19 +63,18 @@ def study_family(clip: str, pairs: int, lp, rife_scale: float = 0.5) -> dict:
         kf, gt = read_rgb(), read_rgb()
         if kf is None or gt is None:
             break
-        # the sweep's operating point, minus SR (LPIPS ordering is about
-        # VFI artifacts; comparing at the degraded working resolution
-        # keeps the study fast and SR-independent)
-        out = cv2.resize(kf, (INPUT_W, INPUT_H), interpolation=cv2.INTER_AREA)
-        gt_d = cv2.resize(gt, (INPUT_W, INPUT_H), interpolation=cv2.INTER_AREA)
+        d = cv2.resize(kf, (INPUT_W, INPUT_H), interpolation=cv2.INTER_AREA)
+        out = cv2.resize(d, (width, height), interpolation=cv2.INTER_LANCZOS4)
+        gt_up = cv2.resize(gt, (width, height),
+                           interpolation=cv2.INTER_LANCZOS4)
         if prev is not None:
             blend = linear_blend(prev, out, 0.5)
             rife = _rife_interpolate(prev, out, 0.5, rife_scale)
             rows.append({
-                "lpips_blend": round(float(lp(blend, gt_d)[0]), 4),
-                "lpips_rife": round(float(lp(rife, gt_d)[0]), 4),
-                "psnr_blend": round(compute_psnr_simple(blend, gt_d), 3),
-                "psnr_rife": round(compute_psnr_simple(rife, gt_d), 3),
+                "lpips_blend": round(float(lp(blend, gt_up)[0]), 4),
+                "lpips_rife": round(float(lp(rife, gt_up)[0]), 4),
+                "psnr_blend": round(compute_psnr_simple(blend, gt_up), 3),
+                "psnr_rife": round(compute_psnr_simple(rife, gt_up), 3),
             })
         prev = out
     cap.release()
