@@ -35,7 +35,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def study_family(clip: str, pairs: int, lp, rife_scale: float = 0.5,
-                 width: int = 2560, height: int = 1440) -> dict:
+                 width: int = 2560, height: int = 1440,
+                 stride: int = 1) -> dict:
     """The SWEEP'S exact operating point (harness run_experiment: degrade
     960x540 -> lanczos SR to the quality resolution -> VFI there, scored
     against the true GT midpoint upscaled as eval_vfi does). An earlier
@@ -46,7 +47,7 @@ def study_family(clip: str, pairs: int, lp, rife_scale: float = 0.5,
     import numpy as np
 
     from vfisr_tpu.harness.experiments import INPUT_H, INPUT_W, _rife_interpolate
-    from vfisr_tpu.methods.inline import linear_blend
+    from vfisr_tpu.methods.inline import calc_motion, linear_blend
     from vfisr_tpu.evaluation.metrics import compute_psnr_simple
 
     cap = cv2.VideoCapture(clip)
@@ -59,6 +60,7 @@ def study_family(clip: str, pairs: int, lp, rife_scale: float = 0.5,
 
     rows = []
     prev = None
+    pair_idx = 0
     while len(rows) < pairs:
         kf, gt = read_rgb(), read_rgb()
         if kf is None or gt is None:
@@ -67,10 +69,19 @@ def study_family(clip: str, pairs: int, lp, rife_scale: float = 0.5,
         out = cv2.resize(d, (width, height), interpolation=cv2.INTER_LANCZOS4)
         gt_up = cv2.resize(gt, (width, height),
                            interpolation=cv2.INTER_LANCZOS4)
-        if prev is not None:
+        pair_idx += 1
+        # stride over the clip so every speed-profile phase is sampled
+        # (the first seconds are the low-motion ramp — sampling only them
+        # measures a single regime); prev stays the true consecutive
+        # keyframe, so each evaluated pair keeps corpus spacing
+        if prev is not None and (pair_idx % stride == 0):
             blend = linear_blend(prev, out, 0.5)
             rife = _rife_interpolate(prev, out, 0.5, rife_scale)
+            motion = calc_motion(
+                cv2.resize(cv2.cvtColor(prev, cv2.COLOR_RGB2GRAY), (480, 270)),
+                cv2.resize(cv2.cvtColor(out, cv2.COLOR_RGB2GRAY), (480, 270)))
             rows.append({
+                "motion": round(float(motion), 4),
                 "lpips_blend": round(float(lp(blend, gt_up)[0]), 4),
                 "lpips_rife": round(float(lp(rife, gt_up)[0]), 4),
                 "psnr_blend": round(compute_psnr_simple(blend, gt_up), 3),
@@ -99,6 +110,9 @@ def study_family(clip: str, pairs: int, lp, rife_scale: float = 0.5,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=40)
+    ap.add_argument("--stride", type=int, default=5,
+                    help="evaluate every Nth consecutive pair so the whole "
+                    "speed profile is sampled, not just the opening ramp")
     ap.add_argument("--hard-clip", default="data/raw/synth_calib.mp4")
     ap.add_argument("--smooth-clip", default="data/raw/synth_001.mp4")
     ap.add_argument("--out", default="outputs/lpips_ordering.json")
@@ -116,8 +130,8 @@ def main() -> int:
                     "rife_default 0.1226 — LPIPS prefers blends",
         },
         "families": {
-            "texture_dense_hard": study_family(args.hard_clip, args.pairs, lp),
-            "smooth": study_family(args.smooth_clip, args.pairs, lp),
+            "texture_dense_hard": study_family(args.hard_clip, args.pairs, lp, stride=args.stride),
+            "smooth": study_family(args.smooth_clip, args.pairs, lp, stride=args.stride),
         },
     }
     for name, fam in record["families"].items():
