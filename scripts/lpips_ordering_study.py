@@ -34,9 +34,29 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def capture_degrade(frame, blur_len: int = 9, jpeg_q: int = 28):
+    """Simulate the reference's capture conditions: motion blur (the
+    capture pipeline's shutter + encoder smear) + heavy recompression.
+    docs/LPIPS_ORDERING.md attributes the reference's blends-over-RIFE
+    LPIPS ordering (reference analysis_report.md:60-67) to exactly these
+    two degradations; this makes the attribution testable (the promised
+    definitive A/B)."""
+    import cv2
+    import numpy as np
+
+    k = np.zeros((1, blur_len), np.float32)
+    k[0, :] = 1.0 / blur_len  # horizontal smear (the worlds pan in x)
+    blurred = cv2.filter2D(frame, -1, k)
+    ok, buf = cv2.imencode(".jpg", cv2.cvtColor(blurred, cv2.COLOR_RGB2BGR),
+                           [cv2.IMWRITE_JPEG_QUALITY, jpeg_q])
+    if not ok:
+        return blurred
+    return cv2.cvtColor(cv2.imdecode(buf, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+
+
 def study_family(clip: str, pairs: int, lp, rife_scale: float = 0.5,
                  width: int = 2560, height: int = 1440,
-                 stride: int = 1) -> dict:
+                 stride: int = 1, degrade_fn=None) -> dict:
     """The SWEEP'S exact operating point (harness run_experiment: degrade
     960x540 -> lanczos SR to the quality resolution -> VFI there, scored
     against the true GT midpoint upscaled as eval_vfi does). An earlier
@@ -56,10 +76,13 @@ def study_family(clip: str, pairs: int, lp, rife_scale: float = 0.5,
 
     def read_rgb():
         ok, f = cap.read()
-        return cv2.cvtColor(f, cv2.COLOR_BGR2RGB) if ok else None
+        if not ok:
+            return None
+        f = cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+        return degrade_fn(f) if degrade_fn is not None else f
 
     rows = []
-    prev = None
+    prev = prev_gt = None
     pair_idx = 0
     while len(rows) < pairs:
         kf, gt = read_rgb(), read_rgb()
@@ -67,14 +90,19 @@ def study_family(clip: str, pairs: int, lp, rife_scale: float = 0.5,
             break
         d = cv2.resize(kf, (INPUT_W, INPUT_H), interpolation=cv2.INTER_AREA)
         out = cv2.resize(d, (width, height), interpolation=cv2.INTER_LANCZOS4)
-        gt_up = cv2.resize(gt, (width, height),
-                           interpolation=cv2.INTER_LANCZOS4)
         pair_idx += 1
         # stride over the clip so every speed-profile phase is sampled
         # (the first seconds are the low-motion ramp — sampling only them
         # measures a single regime); prev stays the true consecutive
         # keyframe, so each evaluated pair keeps corpus spacing
         if prev is not None and (pair_idx % stride == 0):
+            # GT for the pair (kf_{i-1}, kf_i) = frames (2i-2, 2i) is the
+            # midpoint frame 2i-1 — the gt read in the PREVIOUS iteration.
+            # (The round-4 revision scored against the CURRENT iteration's
+            # gt = frame 2i+1, the NEXT pair's midpoint — the off-by-one
+            # that made blend "win" 80/80 in LPIPS and PSNR.)
+            gt_up = cv2.resize(prev_gt, (width, height),
+                               interpolation=cv2.INTER_LANCZOS4)
             blend = linear_blend(prev, out, 0.5)
             rife = _rife_interpolate(prev, out, 0.5, rife_scale)
             motion = calc_motion(
@@ -87,7 +115,7 @@ def study_family(clip: str, pairs: int, lp, rife_scale: float = 0.5,
                 "psnr_blend": round(compute_psnr_simple(blend, gt_up), 3),
                 "psnr_rife": round(compute_psnr_simple(rife, gt_up), 3),
             })
-        prev = out
+        prev, prev_gt = out, gt
     cap.release()
     if not rows:
         raise SystemExit(f"no pairs from {clip}")
@@ -132,6 +160,13 @@ def main() -> int:
         "families": {
             "texture_dense_hard": study_family(args.hard_clip, args.pairs, lp, stride=args.stride),
             "smooth": study_family(args.smooth_clip, args.pairs, lp, stride=args.stride),
+            # the definitive A/B: the SAME hard world under simulated
+            # capture conditions (motion blur + JPEG recompression). If the
+            # content attribution in docs/LPIPS_ORDERING.md is right, the
+            # blend-vs-RIFE LPIPS gap should shrink or flip here.
+            "hard_capture_degraded": study_family(
+                args.hard_clip, args.pairs, lp, stride=args.stride,
+                degrade_fn=capture_degrade),
         },
     }
     for name, fam in record["families"].items():
