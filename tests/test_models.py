@@ -170,6 +170,37 @@ class TestNeural:
         vfi_only = m.interpolate(f0, f1, num_frames=1)
         assert vfi_only[0].shape == f0.shape
 
+    @pytest.mark.slow
+    def test_safa_tiled_matches_direct(self, small_pair):
+        """Tiled overlap-blend joint forward (the 1080p HBM-fit path) must
+        agree with the single-dispatch forward away from seam context."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        f0, f1 = small_pair  # 96x128
+        m = get_model("safa")
+        m.load()
+        x0 = jnp.asarray(f0, jnp.float32)[None] / 255.0
+        x1 = jnp.asarray(f1, jnp.float32)[None] / 255.0
+        ts = jnp.asarray([0.5], jnp.float32)
+        direct = np.asarray(m._apply(m.params, x0, x1, ts))
+        tiled = np.asarray(
+            m._joint_2x_tiled(x0, x1, ts, tile_hw=(48, 64), overlap=16))
+        assert tiled.shape == direct.shape == (1, 192, 256, 3)
+        mse = float(np.mean((tiled - direct) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        # tiles see different flow context; overlap blending keeps the
+        # disagreement at a noise-floor level, not a visible seam
+        assert psnr > 30.0, psnr
+
+    def test_safa_large_input_uses_tiling(self, small_pair):
+        f0, f1 = small_pair
+        m = get_model("safa", tile_px_budget=96 * 128 - 1)
+        m.load()
+        frames = m.joint_process(f0, f1, num_intermediate=1, target_scale=2.0)
+        assert len(frames) == 3
+        assert frames[0].shape == (192, 256, 3)
+
 
 class TestRIFEScale:
     """Reference Model.inference(..., scale=) knob (rife_wrapper.py:146)."""

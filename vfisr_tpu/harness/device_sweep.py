@@ -285,6 +285,29 @@ def _chunk_program(
     return metrics
 
 
+@jax.jit
+def _motion_chunk(prev: jnp.ndarray, curr: jnp.ndarray) -> jnp.ndarray:
+    """Per-pair adaptive-router motion (mean 480x270 fast-Farneback flow),
+    the same signal _chunk_program's adaptive branch thresholds on —
+    read back host-side so the quality-aware tier can pick each pair's
+    neural expert from the calibrated 'sweep' bins."""
+    ga = rgb_to_gray(resize(prev, (270, 480), "linear"))
+    gb = rgb_to_gray(resize(curr, (270, 480), "linear"))
+    fl = farneback_flow(ga, gb, 0.5, 1, 15, 1, 5, 1.1)
+    return jnp.mean(jnp.sqrt(fl[..., 0] ** 2 + fl[..., 1] ** 2), axis=(1, 2))
+
+
+def _vfimamba_chunk(prev_u8: jnp.ndarray, curr_u8: jnp.ndarray) -> jnp.ndarray:
+    """[K,oh,ow,3] float 0..255 x2 -> [K,3,oh,ow,3] float 0..255 VFIMamba
+    midpoints (the quality-aware heavy expert; loaded once)."""
+    from vfisr_tpu.harness.experiments import _VFIMambaSingleton
+
+    m = _VFIMambaSingleton.get()
+    out = m.interpolate_batch(
+        prev_u8 / 255.0, curr_u8 / 255.0, (0.25, 0.5, 0.75))
+    return out * 255.0
+
+
 def _rife_chunk(prev_u8: jnp.ndarray, curr_u8: jnp.ndarray,
                 scale: float = 0.5) -> jnp.ndarray:
     """[K,oh,ow,3] uint8 x2 -> [K,3,oh,ow,3] float 0..255 RIFE midpoints.
@@ -330,16 +353,22 @@ def run_experiment_batched(
     rife_scale = float(experiment.get("rife_scale", 0.5))
     motion_thresh = float(experiment.get("motion_thresh", 3.0))
     quality_aware = bool(experiment.get("quality_aware", False))
+    qa_bins = None
     if quality_aware:
         # quality-priority adaptive tier: the blend route is additionally
         # bounded by the MEASURED blend-vs-RIFE crossover (held-out
         # calibration, weights/router_gate.json) — same gate as the host
         # loop in harness/experiments.py
-        from vfisr_tpu.utils.router_gate import blend_crossover_px
+        from vfisr_tpu.utils.router_gate import blend_crossover_px, expert_bins
 
         _cx = blend_crossover_px()
         if _cx is not None:
             motion_thresh = min(motion_thresh, _cx)
+        if vfi == "adaptive":
+            # per-motion-bin neural-expert choice (rife@0.5 / rife@0.25 /
+            # vfimamba — harness.experiments.route_neural_expert)
+            qa_bins = expert_bins("sweep")
+    expert_counts = {"blend": 0, "rife": 0, "rife_fast": 0, "vfimamba": 0}
     mcar_low = float(experiment.get("mcar_low", 0.3))
     mcar_high = float(experiment.get("mcar_high", 0.7))
     exp_fps = experiment.get("quality_fps", QUALITY_LEVELS[DEFAULT_QUALITY]["fps"])
@@ -392,6 +421,7 @@ def run_experiment_batched(
                                     + interval.kf.shape[1:]))
 
         rife_mids = jnp.zeros((chunk_pairs, 3, out_h, out_w, 3), jnp.float32)
+        chunk_labels = None
         if needs_rife:
             # SR first (reference interpolates the upscaled frames)
             srcf = src.astype(jnp.float32)
@@ -402,7 +432,44 @@ def run_experiment_batched(
                 up = resize(degraded, (out_h, out_w), interp)
                 if edge > 0:
                     up = _edge_enhance_core(up, edge)
-            rife_mids = _rife_chunk(up[:-1], up[1:], rife_scale)
+            if qa_bins is not None:
+                # quality-aware: per-pair neural expert from calibrated
+                # bins; rife_mids becomes the SELECTED expert's midpoints
+                # (the blend-vs-neural select stays in _chunk_program)
+                from vfisr_tpu.harness.experiments import route_neural_expert
+
+                upq = _qu8(up)  # match _chunk_program's quantized analysis
+                motion = np.asarray(_motion_chunk(upq[:-1], upq[1:]))
+                chunk_labels = []
+                for m in motion:
+                    e, so = route_neural_expert(float(m), True)
+                    chunk_labels.append(
+                        "vfimamba" if e == "vfimamba"
+                        else ("rife_fast" if so == 0.25 else "rife"))
+                mids_by = {}
+                if any(l == "rife" for l in chunk_labels):
+                    mids_by["rife"] = _rife_chunk(upq[:-1], upq[1:], 0.5)
+                if any(l == "rife_fast" for l in chunk_labels):
+                    mids_by["rife_fast"] = _rife_chunk(upq[:-1], upq[1:], 0.25)
+                parts = []
+                for j, lab in enumerate(chunk_labels):
+                    if lab == "vfimamba":
+                        try:
+                            parts.append(_vfimamba_chunk(
+                                upq[j:j + 1].astype(jnp.float32),
+                                upq[j + 1:j + 2].astype(jnp.float32)))
+                            continue
+                        except Exception as me:  # degrade, don't fail
+                            print(f"  [vfimamba expert failed, rife@0.5] {me}")
+                            chunk_labels[j] = "rife"
+                            if "rife" not in mids_by:
+                                mids_by["rife"] = _rife_chunk(
+                                    upq[:-1], upq[1:], 0.5)
+                    parts.append(mids_by[chunk_labels[j]][j:j + 1])
+                rife_mids = (parts[0] if len(parts) == 1
+                             else jnp.concatenate(parts, axis=0))
+            else:
+                rife_mids = _rife_chunk(up[:-1], up[1:], rife_scale)
 
         res = _chunk_program(
             src, ref, gt, rife_mids,
@@ -421,7 +488,15 @@ def run_experiment_batched(
             k_eval = max(0, min(k_real, interval.mid.shape[0] - start))
             vfi_psnr_all.extend(np.asarray(res["vfi_psnr"])[:k_eval])
             vfi_ssim_all.extend(np.asarray(res["vfi_ssim"])[:k_eval])
-            rife_used_all.extend(np.asarray(res["rife_used"])[:k_eval])
+            ru_chunk = np.asarray(res["rife_used"])[:k_eval]
+            rife_used_all.extend(ru_chunk)
+            if vfi == "adaptive":
+                for j, used in enumerate(ru_chunk):
+                    if not used:
+                        expert_counts["blend"] += 1
+                    else:
+                        expert_counts[
+                            chunk_labels[j] if chunk_labels else "rife"] += 1
             if lpips_fn is not None:
                 # every 10th evaluated VFI frame (run_experiments.py:735)
                 base = start
@@ -504,5 +579,10 @@ def run_experiment_batched(
         "quality_aware": quality_aware,
         "blend_thresh_effective": (round(motion_thresh, 3)
                                    if vfi == "adaptive" else None),
+        "vfimamba_frames_pct": (
+            round(100.0 * expert_counts["vfimamba"]
+                  / max(len(rife_used_all), 1), 1)
+            if vfi == "adaptive" else None),
+        "expert_mix": expert_counts if vfi == "adaptive" else None,
         "device_batched": True,
     }

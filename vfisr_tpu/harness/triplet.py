@@ -223,6 +223,11 @@ def run_benchmarks(
                     if save_outputs
                     else None
                 )
+                # per-run peak semantics (run_experiments.py:149-160):
+                # warmup absorbed compilation; now measure THIS model's run
+                from vfisr_tpu.models.base import reset_peak
+
+                reset_peak()
                 result = run_model_benchmark(
                     model, clip_data, evaluator,
                     max_triplets=max_triplets, save_outputs=save_outputs, output_dir=mdir,
@@ -244,6 +249,13 @@ def run_benchmarks(
             except Exception as e:
                 print(f"    Failed: {e}")
                 all_results[clip_name][model_name] = {"error": str(e)}
+            finally:
+                # drop this model's device arrays so the next model's
+                # live-array peak is its own, not the union of all prior
+                import gc
+
+                model = None  # noqa: F841
+                gc.collect()
 
     output = {
         "timestamp": datetime.now().isoformat(),

