@@ -403,7 +403,18 @@ def main() -> int:
         help="held-out clips for the NATIVE (triplet benchmark) regime "
         "bins — full-res pairs, no degrade/SR")
     ap.add_argument("--native-pairs", type=int, default=40)
+    ap.add_argument("--platform", default="auto", choices=["auto", "cpu"],
+                    help="force JAX to CPU (sitecustomize pins "
+                    "JAX_PLATFORMS=axon; scene-gate calibration needs no "
+                    "neural nets and can run while the chip trains)")
+    ap.add_argument("--scene-worlds", type=int, default=2)
+    ap.add_argument("--scene-seconds", type=float, default=4.0)
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import importlib.util
 
@@ -486,7 +497,8 @@ def main() -> int:
             record["scene_gate"] = prev["scene_gate"]
     else:
         print("calibrating scene-cut gate on labeled worlds...")
-        record["scene_gate"] = measure_scene_gate()
+        record["scene_gate"] = measure_scene_gate(
+            extra_worlds=args.scene_worlds, seconds=args.scene_seconds)
         sg = record["scene_gate"]
         print(f"scene gate: warped_ssim_threshold "
               f"{sg['warped_ssim_threshold']} (cuts {sg['cut_pairs']}, "

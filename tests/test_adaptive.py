@@ -69,6 +69,40 @@ class TestRouter:
         # moving background should not be HUD
         assert router.hud_mask[20:100, :].mean() < 0.3
 
+    def test_hud_pair_agreement_refinement(self):
+        """Quality-aware HUD mask must exclude pixels where the endpoints
+        disagree (pasting a source pixel over moving content scores ~frame
+        dup; measured 60% false coverage on the smooth corpus)."""
+        import cv2
+
+        rng = np.random.default_rng(14)
+        smooth = cv2.resize(
+            rng.integers(0, 256, (9, 12, 3), np.uint8), (192, 144),
+            interpolation=cv2.INTER_CUBIC,
+        )
+        frames = []
+        for i in range(7):
+            f = np.roll(smooth, i, axis=1).copy()  # slow 1px/frame pan
+            f[120:140, 10:60] = 200  # truly static HUD box
+            frames.append(f)
+
+        masks = {}
+        for qa in (False, True):
+            router = AdaptiveRouter(quality_aware=qa)
+            for i in range(6):
+                router.analyze(frames[i], frames[i + 1])
+            masks[qa] = router.hud_mask.copy()
+        # refinement only shrinks the mask
+        assert not (masks[True] & ~masks[False]).any()
+        # and no refined-mask pixel disagrees between the endpoints by >eps
+        g0 = cv2.cvtColor(frames[5], cv2.COLOR_RGB2GRAY).astype(float)
+        g1 = cv2.cvtColor(frames[6], cv2.COLOR_RGB2GRAY).astype(float)
+        disagree = np.abs(g0 - g1) > 4.5  # eps + cv2-vs-jax gray slack
+        assert not (masks[True] & disagree).any()
+        # the real HUD box survives refinement
+        if masks[False][125:135, 20:50].mean() > 0.5:
+            assert masks[True][125:135, 20:50].mean() > 0.5
+
     def test_detect_scene_change_method(self, textured, rng):
         router = AdaptiveRouter()
         is_cut, score = router.detect_scene_change(textured, textured)

@@ -101,6 +101,66 @@ class TestParityWithHostLoop:
                   "lpips_mode", "vfi_lpips", "overall_ssim"):
             assert k in dev
 
+    def test_quality_aware_adaptive_routes_by_bins(self, monkeypatch,
+                                                   tmp_path):
+        """Per-motion-bin expert choice (round-4 verdict Missing #2):
+        quality-aware adaptive must pick the measured bin winner per pair
+        and report the expert mix. Experts are faked (no model loads) —
+        this pins the routing plumbing, not expert quality."""
+        import json
+
+        import jax.numpy as jnp
+
+        import vfisr_tpu.harness.device_sweep as ds
+        import vfisr_tpu.utils.router_gate as rg
+
+        gate = {
+            "blend_vs_rife_crossover_px": 0.0,  # blend route closed
+            "expert_bins": {"sweep": [
+                {"motion_lo": 0.0, "motion_hi": 1e9, "count": 8,
+                 "rife": 20.0, "rife_fast": 21.0, "vfimamba": 22.0},
+            ]},
+        }
+        p = tmp_path / "gate.json"
+        p.write_text(json.dumps(gate))
+        monkeypatch.setattr(rg, "DEFAULT_PATH", p)
+        rg.clear_cache()
+
+        calls = []
+
+        def _blend_mids(prev, curr):
+            ts = jnp.asarray([0.25, 0.5, 0.75])[None, :, None, None, None]
+            pf = prev.astype(jnp.float32)[:, None]
+            cf = curr.astype(jnp.float32)[:, None]
+            return pf * (1 - ts) + cf * ts
+
+        def fake_rife(prev, curr, scale=0.5):
+            calls.append(("rife", scale))
+            return _blend_mids(prev, curr)
+
+        def fake_mamba(prev, curr):
+            calls.append(("vfimamba", None))
+            return _blend_mids(prev, curr)
+
+        monkeypatch.setattr(ds, "_rife_chunk", fake_rife)
+        monkeypatch.setattr(ds, "_vfimamba_chunk", fake_mamba)
+
+        kfs, mids = _interval()
+        exp = {"name": "adaptive_aggressive", "vfi": "adaptive",
+               "sr": "lanczos", "edge": 0, "motion_thresh": 1.5,
+               "quality_aware": True,
+               "quality_resolution": (192, 108), "quality_fps": 60}
+        res = run_experiment_batched(DeviceInterval(kfs, mids), exp,
+                                     chunk_pairs=4)
+        mix = res["expert_mix"]
+        assert sum(mix.values()) == res["vfi_frames_evaluated"]
+        # the single bin says vfimamba wins everywhere -> every neural
+        # pair routed to the heavy expert, none to plain rife
+        assert mix["vfimamba"] == res["vfi_frames_evaluated"] - mix["blend"]
+        assert mix["rife"] == 0 and mix["rife_fast"] == 0
+        assert any(c[0] == "vfimamba" for c in calls)
+        rg.clear_cache()
+
     def test_unsupported_method_raises(self):
         kfs, mids = _interval(n_kf=3)
         with pytest.raises(ValueError):

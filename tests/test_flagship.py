@@ -58,6 +58,9 @@ class TestFlagshipStep:
         cfg = FlagshipConfig(out_hw=(96, 128), analysis_hw=(32, 64),
                              hud_var_threshold=1e9,  # everything is "HUD"
                              hud_coverage_threshold=0.0,
+                             hud_agree_eps=0.0,  # mechanics test: no
+                             # pair-agreement refinement (moving pixels
+                             # must composite too, to observe sourcing)
                              scene_ssim_threshold=0.0)
         step = jax.jit(make_flagship_step(module, params, cfg))
         hist, hcnt = init_history(1)

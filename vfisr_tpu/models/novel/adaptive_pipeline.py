@@ -123,7 +123,8 @@ def scene_cut_signals(s0, s1, flow_small, scene_thr, scene_warp_thr):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "scene_thr", "scene_warp_thr", "particle_thr", "hud_var_thr"))
+    "scene_thr", "scene_warp_thr", "particle_thr", "hud_var_thr",
+    "hud_agree_eps"))
 def _analyze_core(
     f0: jnp.ndarray,
     f1: jnp.ndarray,
@@ -133,6 +134,7 @@ def _analyze_core(
     scene_warp_thr: float,
     particle_thr: float,
     hud_var_thr: float,
+    hud_agree_eps: float = 0.0,
 ):
     """Batched analysis program. f0/f1: [N,H,W,3] float [0,1].
 
@@ -179,6 +181,16 @@ def _analyze_core(
     hud_full = resize(hud_small[..., None].astype(jnp.float32), (h, w), "nearest")[..., 0]
     hud_full = morph_open(morph_close(hud_full, 5), 5)
     hud_mask = hud_full > 0.5
+    if hud_agree_eps > 0:
+        # pair-agreement refinement: compositing copies a SOURCE pixel
+        # over the interpolated one — only safe where the endpoints
+        # already agree (true HUD pixels are identical in both frames).
+        # The low-res temporal-variance test alone misreads slow-moving
+        # smooth content as HUD (measured: 60% false coverage on the
+        # smooth corpus — sub-pixel motion at 320x180 has variance < 10),
+        # and pasting a stale frame over moving pixels scores ~frame-dup.
+        # With the refinement the worst-case per-pixel error is eps.
+        hud_mask = hud_mask & (jnp.abs(g0 - g1) <= hud_agree_eps)
     hud_coverage = jnp.mean(hud_mask.astype(jnp.float32), axis=(1, 2))
 
     return {
@@ -238,6 +250,9 @@ class AdaptiveRouter:
         self.quality_aware = quality_aware
         self.particle_threshold = particle_threshold
         self.hud_variance_threshold = hud_variance_threshold
+        # pair-agreement refinement of the HUD mask (see _analyze_core):
+        # quality-aware only; 0 disables = reference variance-only mask
+        self.hud_agree_eps = 3.0 if quality_aware else 0.0
         self.hud_history_frames = hud_history_frames
         self._history = None  # [N, K, 180, 320]
         self._history_count = None
@@ -268,6 +283,7 @@ class AdaptiveRouter:
             self.scene_warp_ssim_threshold,
             self.particle_threshold,
             self.hud_variance_threshold,
+            self.hud_agree_eps,
         )
 
     def _bin_winner_native(self, motion_mean: float) -> Optional[str]:

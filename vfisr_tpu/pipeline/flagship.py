@@ -63,6 +63,12 @@ class FlagshipConfig:
     particle_threshold: float = 0.4
     hud_var_threshold: float = 10.0
     hud_coverage_threshold: float = 0.01
+    # HUD pair-agreement refinement (adaptive_pipeline._analyze_core):
+    # composite only pixels where |g0-g1| <= eps at full res — true HUD
+    # pixels are identical in both endpoints; the variance-only mask
+    # misread slow smooth motion as HUD (60% false coverage measured).
+    # 0 disables (reference variance-only behavior).
+    hud_agree_eps: float = 3.0
     motion_threshold_high: float = 25.0  # route-to-VFIMamba signal
     sr_filter: str = "lanczos4"
     # One IFNet trunk pass at t=0.5, other timesteps from linearly rescaled
@@ -190,6 +196,11 @@ def make_flagship_step(module, params, cfg: FlagshipConfig = FlagshipConfig()):
             )[..., 0]
             > 0.5
         )
+        if cfg.hud_agree_eps > 0:
+            # pair-agreement refinement (see FlagshipConfig.hud_agree_eps)
+            g0f = rgb_to_gray(x0 * 255.0)
+            g1f = rgb_to_gray(x1 * 255.0)
+            hud_full = hud_full & (jnp.abs(g0f - g1f) <= cfg.hud_agree_eps)
         apply_hud = sig["hud_coverage"] > cfg.hud_coverage_threshold
         hud_rep = jnp.repeat(hud_full & apply_hud[:, None, None], t_count, axis=0)
         t_rep = jnp.tile(jnp.asarray(ts_tuple), (p,))
