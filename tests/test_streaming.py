@@ -44,7 +44,7 @@ class TestStreaming:
         stats = process_video(tiny_clip, out, method="lanczos",
                               target_fps=120, target_resolution=(170, 128),
                               max_frames=6)
-        assert stats["pipeline"] == "double_buffered"
+        assert stats["pipeline"] == "writer_thread"
         # 5 pairs x (1 endpoint + 3 mids) + final endpoint = 21
         assert stats["output_frames"] == 21
         n, w, h = _frame_count_and_size(out)
@@ -62,7 +62,7 @@ class TestStreaming:
                               max_frames=6)
         # the flagship must stream through its fused program (analysis +
         # scene/HUD composite + SR in one dispatch), not bare RIFE
-        assert stats["pipeline"] == "fused_double_buffered"
+        assert stats["pipeline"] == "fused_writer_thread"
         assert stats["output_frames"] == 21
         assert _frame_count_and_size(out) == (21, 170, 128)
 
