@@ -32,6 +32,10 @@ def main():
                         help="Save model outputs (uses more disk space)")
     parser.add_argument("--warmup", type=int, default=3,
                         help="Warmup iterations before timing (absorbs XLA compile)")
+    parser.add_argument("--merge", action="store_true",
+                        help="Merge the selected models' rows into an existing "
+                             "benchmark_results.json (targeted re-run) instead "
+                             "of replacing the file")
     args = parser.parse_args()
 
     from vfisr_tpu.harness.triplet import run_benchmarks
@@ -44,6 +48,7 @@ def main():
         max_triplets=args.max_triplets,
         save_outputs=args.save_outputs,
         warmup=args.warmup,
+        merge=args.merge,
     )
 
 

@@ -61,6 +61,40 @@ def test_safa_has_a_real_row():
         assert r["quality_summary"]["psnr"]["mean"] > 10.0
 
 
+def test_merge_benchmark_outputs():
+    """A targeted re-run (--merge) replaces only its own (clip, model)
+    rows; everything else — and the bulk run's timestamp — survives."""
+    from vfisr_tpu.harness.triplet import merge_benchmark_outputs
+
+    prev = {
+        "timestamp": "2026-08-20T03:00:00",
+        "models": ["bicubic", "adaptive"],
+        "lpips_mode": "calibrated_heads",
+        "results": {
+            "clip_a": {"bicubic": {"q": 1}, "adaptive": {"q": 2}},
+            "clip_b": {"bicubic": {"q": 3}},
+        },
+    }
+    fresh = {
+        "timestamp": "2026-08-20T06:00:00",
+        "models": ["adaptive", "flagship"],
+        "lpips_mode": "calibrated_heads",
+        "results": {"clip_a": {"adaptive": {"q": 20}, "flagship": {"q": 30}}},
+    }
+    out = merge_benchmark_outputs(prev, fresh)
+    assert out["results"]["clip_a"]["adaptive"] == {"q": 20}
+    assert out["results"]["clip_a"]["bicubic"] == {"q": 1}
+    assert out["results"]["clip_a"]["flagship"] == {"q": 30}
+    assert out["results"]["clip_b"]["bicubic"] == {"q": 3}
+    assert out["timestamp"] == "2026-08-20T03:00:00"
+    assert out["merged_at"] == "2026-08-20T06:00:00"
+    assert out["merged_models"] == ["adaptive", "flagship"]
+    assert set(out["models"]) == {"bicubic", "adaptive", "flagship"}
+    # absent/corrupt prev -> fresh passes through
+    assert merge_benchmark_outputs(None, fresh) is fresh
+    assert merge_benchmark_outputs({"results": 3}, fresh) is fresh
+
+
 def test_vram_peaks_are_per_model():
     """The live-array peak must not be one process-global high-water
     stamped on every row (round-4: all 13 models reported 101.9 MB)."""

@@ -123,6 +123,50 @@ class TestExpertBins:
         ) == "vfimamba"
         assert rg.bin_winner("nonexistent", 1.0) is None
 
+    def test_bin_winner_margin_and_static_eps(self, tmp_path, monkeypatch):
+        """Cost-aware semantics: a heavier expert must win its bin by
+        margin_db (bin means carry noise), and below static_eps_px the
+        bin average — dominated by the bin's real-motion pairs — does not
+        extrapolate to zero motion, so the fast expert is returned even
+        when the lowest bin favors the heavy one."""
+        rg = self._write_gate(tmp_path, monkeypatch, {
+            "expert_bins": {
+                "native": [
+                    # heavy wins the lowest bin by a LOT (real calibration
+                    # shape: vfimamba +0.99 dB on 0..1.2px pairs)
+                    {"motion_lo": 0.0, "motion_hi": 2.0, "count": 10,
+                     "rife": 33.0, "vfimamba": 34.0},
+                    # heavy wins by less than the margin -> not predictable
+                    {"motion_lo": 2.0, "motion_hi": 8.0, "count": 10,
+                     "rife": 24.0, "vfimamba": 24.1},
+                    {"motion_lo": 8.0, "motion_hi": 1e9, "count": 10,
+                     "rife": 22.0, "vfimamba": 23.5},
+                ],
+            },
+        })
+        assert rg.bin_winner("native", 0.0) == "rife"    # static eps
+        assert rg.bin_winner("native", 0.2) == "rife"    # static eps
+        assert rg.bin_winner("native", 1.0) == "vfimamba"  # real low-motion win
+        assert rg.bin_winner("native", 5.0) == "rife"    # sub-margin win
+        assert rg.bin_winner("native", 12.0) == "vfimamba"
+
+    def test_committed_gate_routes_static_fast_and_hard_heavy(self):
+        """The shipped calibration must keep static pairs on the fast
+        expert while opening the heavy expert at hard-corpus motion
+        (round-4 verdict Missing #2: vfimamba won every hard 1080p triplet
+        yet a global boolean kept it closed)."""
+        import vfisr_tpu.utils.router_gate as rg
+
+        rg.clear_cache()
+        if rg.expert_bins("native") is None:
+            pytest.skip("expert bins not calibrated yet")
+        assert rg.bin_winner("native", 0.0) == "rife"
+        assert rg.bin_winner("native", 8.0) == "vfimamba"
+        assert rg.bin_winner("native", 20.0) == "vfimamba"
+        assert rg.bin_winner(
+            "sweep", 2.5, experts=("rife", "rife_fast", "vfimamba")
+        ) == "vfimamba"
+
     def test_bin_winner_uncalibrated(self, tmp_path, monkeypatch):
         import vfisr_tpu.utils.router_gate as rg
 

@@ -160,6 +160,27 @@ def run_model_benchmark(
     }
 
 
+def merge_benchmark_outputs(prev, fresh: dict) -> dict:
+    """Merge a targeted re-run's rows into a prior benchmark_results payload.
+
+    Fresh rows replace same (clip, model) rows; everything else in ``prev``
+    survives. The file keeps the original run's timestamp (it still labels
+    the bulk of the rows) and records merged_models/merged_at for
+    provenance. Invalid/absent ``prev`` returns ``fresh`` unchanged."""
+    if not (isinstance(prev, dict) and isinstance(prev.get("results"), dict)):
+        return fresh
+    merged = prev["results"]
+    for clip_name, per_model in fresh["results"].items():
+        merged.setdefault(clip_name, {}).update(per_model)
+    out = dict(prev)
+    out["results"] = merged
+    out["models"] = sorted(set(prev.get("models", [])) | set(fresh["models"]))
+    out["lpips_mode"] = fresh.get("lpips_mode", prev.get("lpips_mode"))
+    out["merged_models"] = fresh["models"]
+    out["merged_at"] = fresh["timestamp"]
+    return out
+
+
 def run_benchmarks(
     data_dir: str,
     output_dir: str,
@@ -168,8 +189,13 @@ def run_benchmarks(
     max_triplets: Optional[int] = None,
     save_outputs: bool = False,
     warmup: int = 3,
+    merge: bool = False,
 ) -> dict:
-    """Full benchmark sweep + benchmark_results.json (run_benchmarks.py:253-454)."""
+    """Full benchmark sweep + benchmark_results.json (run_benchmarks.py:253-454).
+
+    ``merge``: update rows for the selected models/clips inside an existing
+    benchmark_results.json instead of replacing the whole file — a targeted
+    re-run (e.g. after a routing change) keeps the other models' rows."""
     data_dir = Path(data_dir)
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -265,6 +291,12 @@ def run_benchmarks(
         "results": all_results,
     }
     results_path = output_dir / "benchmark_results.json"
+    if merge and results_path.exists():
+        try:
+            prev = json.loads(results_path.read_text())
+        except (OSError, json.JSONDecodeError):
+            prev = None
+        output = merge_benchmark_outputs(prev, output)
     with open(results_path, "w") as f:
         json.dump(output, f, indent=2, default=str)
     print(f"\nResults saved to {results_path}")

@@ -113,15 +113,26 @@ def expert_bins(regime: str, path: Optional[str] = None) -> Optional[list]:
 
 
 def bin_winner(regime: str, motion: float, experts=("rife", "vfimamba"),
-               margin_db: float = 0.0, path: Optional[str] = None,
+               margin_db: float = 0.25, static_eps_px: float = 0.25,
+               path: Optional[str] = None,
                ) -> Optional[str]:
     """The measured-best expert for a pair's motion in a regime, or None
-    when uncalibrated / motion outside every bin. ``margin_db``: a
-    non-default expert must win by at least this much (ties -> first
-    listed, the fast expert)."""
+    when uncalibrated / motion outside every bin.
+
+    ``margin_db``: a later-listed (heavier) expert must win its bin by at
+    least this much — bin means carry sampling noise, and a heavier expert
+    that wins by less than the margin is not a predictable upgrade, so
+    ties and near-ties go to the first-listed (fast) expert.
+
+    ``static_eps_px``: below this motion the pair is effectively static —
+    every expert converges to identity and the bin average (dominated by
+    the bin's real-motion pairs) does not extrapolate down to zero motion,
+    so cost decides: the first-listed (fast) expert is returned."""
     bins = expert_bins(regime, path)
     if not bins:
         return None
+    if motion < static_eps_px:
+        return experts[0]
     chosen = None
     for b in bins:
         if b["motion_lo"] <= motion < b["motion_hi"]:
