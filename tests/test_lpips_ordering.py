@@ -52,6 +52,18 @@ def test_ordering_study_internally_consistent():
     # texture-dense: RIFE must win mean LPIPS (the regime driving the
     # committed hard-corpus tables)
     assert hard["lpips_rife_mean"] < hard["lpips_blend_mean"], hard
+    # the round-5 A/B: capture-like degradation (motion blur + JPEG)
+    # must NOT flip the hard-content ordering (docs/LPIPS_ORDERING.md —
+    # the inversion regime is low motion, not capture softness)
+    if "hard_capture_degraded" in fams:
+        deg = fams["hard_capture_degraded"]
+        assert deg["lpips_rife_mean"] < deg["lpips_blend_mean"], deg
+    # smooth/low-motion: the regime where the reference's ordering
+    # becomes reproducible in direction — blend within noise of rife
+    if "smooth" in fams:
+        sm = fams["smooth"]
+        assert abs(sm["lpips_blend_mean"] - sm["lpips_rife_mean"]) <= 0.1, sm
+        assert sm["lpips_blend_wins"] > 0, sm
     for fam in fams.values():
         assert fam["pairs"] >= 10
         assert 0 <= fam["lpips_blend_wins"] <= fam["pairs"]
