@@ -83,13 +83,34 @@ def load_ours(results_path: str, clip_id: str | None = None):
             if clip_id is None or e.get("clip_id") == clip_id]
     compared = [n for n in REFERENCE
                 if any(e["name"] == n for e in rows)]
-    common: set | None = None
-    for n in compared:
-        ivals = {e.get("interval_idx", 0) for e in rows if e["name"] == n}
-        common = ivals if common is None else (common & ivals)
+    coverage = {
+        n: {e.get("interval_idx", 0) for e in rows if e["name"] == n}
+        for n in compared
+    }
+
+    def _intersection(names):
+        sets = [coverage[n] for n in names]
+        return set.intersection(*sets) if sets else set()
+
+    common = _intersection(compared) if compared else None
+    # A method covering a disjoint interval slice (e.g. rife_default ran
+    # only the hard interval 2 on the smooth clip) must not blank the
+    # whole comparison: greedily exclude the method whose removal grows
+    # the common set the most, and report the exclusion, rather than
+    # emitting a table of dashes.
+    excluded = []
+    kept = list(compared)
+    while common is not None and not common and len(kept) > 2:
+        victim = max(kept, key=lambda n: len(_intersection(
+            [m for m in kept if m != n])))
+        kept.remove(victim)
+        excluded.append(victim)
+        common = _intersection(kept)
     by_name = {}
     for e in rows:
         name = e["name"]
+        if name in excluded:
+            continue
         if (name in REFERENCE and common is not None
                 and e.get("interval_idx", 0) not in common):
             continue
@@ -106,6 +127,8 @@ def load_ours(results_path: str, clip_id: str | None = None):
     }
     if common is not None:
         out["_common_intervals"] = sorted(common)
+    if excluded:
+        out["_excluded_no_coverage"] = sorted(excluded)
     sources = {e.get("_source") for e in rows if e.get("_source")}
     if sources:
         out["_sources"] = sorted(sources)
@@ -141,6 +164,13 @@ def section(title: str, blurb: str, ours: dict) -> list[str]:
             f"Compared methods averaged over their common interval set "
             f"{common} (rows on other intervals excluded to keep the "
             f"ordering apples-to-apples).",
+            "",
+        ]
+    excluded = ours.get("_excluded_no_coverage")
+    if excluded:
+        lines += [
+            f"Excluded for disjoint interval coverage (would blank the "
+            f"common set): {', '.join(excluded)}.",
             "",
         ]
     if any("cpu_fallback" in s for s in ours.get("_sources", ())):
