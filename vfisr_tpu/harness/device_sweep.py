@@ -299,13 +299,20 @@ def _motion_chunk(prev: jnp.ndarray, curr: jnp.ndarray) -> jnp.ndarray:
 
 def _vfimamba_chunk(prev_u8: jnp.ndarray, curr_u8: jnp.ndarray) -> jnp.ndarray:
     """[K,oh,ow,3] float 0..255 x2 -> [K,3,oh,ow,3] float 0..255 VFIMamba
-    midpoints (the quality-aware heavy expert; loaded once)."""
+    midpoints (the quality-aware heavy expert; loaded once).
+
+    One timestamp per apply: interpolate_batch repeats the batch per
+    timestamp, and the S6 activations of a 3x batch at the sweep's 1440p
+    operating point need ~45 GB HBM (~3x the 15.75 GB chip) — while the
+    batch-1 single-t program is exactly what the calibration ran (and
+    compiled) at this resolution. The timestamp is a traced argument, so
+    the three calls share that one compiled program."""
     from vfisr_tpu.harness.experiments import _VFIMambaSingleton
 
     m = _VFIMambaSingleton.get()
-    out = m.interpolate_batch(
-        prev_u8 / 255.0, curr_u8 / 255.0, (0.25, 0.5, 0.75))
-    return out * 255.0
+    x0, x1 = prev_u8 / 255.0, curr_u8 / 255.0
+    outs = [m.interpolate_batch(x0, x1, (t,)) for t in (0.25, 0.5, 0.75)]
+    return jnp.concatenate(outs, axis=1) * 255.0
 
 
 def _rife_chunk(prev_u8: jnp.ndarray, curr_u8: jnp.ndarray,
