@@ -159,6 +159,21 @@ class TestNeural:
         frames = m.interpolate(f0, f1, num_frames=1)
         assert frames[0].shape == f0.shape
 
+    @pytest.mark.slow
+    def test_vfimamba_internal_area_cap(self, small_pair):
+        """Above MAX_INTERNAL_AREA the trunk runs downscaled and the
+        midpoints come back at full resolution (the r5d OOM guard) —
+        and near the static limit the capped output still ≈ the inputs."""
+        f0, f1 = small_pair  # 96x128
+        m = get_model("vfimamba_s")
+        m.max_internal_area = 64 * 64  # force the guard at test shapes
+        m.load()
+        frames = m.interpolate(f0, f0, num_frames=1)
+        assert frames[0].shape == f0.shape
+        # static pair: interpolation ≈ identity survives the down/up trip
+        err = np.abs(frames[0].astype(np.float32) - f0.astype(np.float32))
+        assert err.mean() < 16.0, f"capped static-pair drift {err.mean():.1f}"
+
     def test_safa_joint(self, small_pair):
         f0, f1 = small_pair
         m = get_model("safa")

@@ -306,7 +306,12 @@ def _vfimamba_chunk(prev_u8: jnp.ndarray, curr_u8: jnp.ndarray) -> jnp.ndarray:
     operating point need ~45 GB HBM (~3x the 15.75 GB chip) — while the
     batch-1 single-t program is exactly what the calibration ran (and
     compiled) at this resolution. The timestamp is a traced argument, so
-    the three calls share that one compiled program."""
+    the three calls share that one compiled program. Even single-t 1440p
+    (~15 GB) only fits an otherwise-empty chip; alongside the sweep's
+    resident frame stacks the model's MAX_INTERNAL_AREA cap kicks in
+    (trunk at 1920x1080, midpoints Lanczos-upscaled — the content's true
+    detail is the 960x540 degraded source, so the cap sits 2x above it;
+    cost measured in outputs/train_r5/expert_downscale_check.json)."""
     from vfisr_tpu.harness.experiments import _VFIMambaSingleton
 
     m = _VFIMambaSingleton.get()
@@ -468,6 +473,15 @@ def run_experiment_batched(
                             continue
                         except Exception as me:  # degrade, don't fail
                             print(f"  [vfimamba expert failed, rife@0.5] {me}")
+                            if "RESOURCE_EXHAUSTED" in str(me):
+                                # free the wedged expert's HBM before the
+                                # fallback touches the device (r5d: the OOM
+                                # cascaded into every later device_put)
+                                from vfisr_tpu.harness.experiments import (
+                                    _VFIMambaSingleton)
+
+                                _VFIMambaSingleton.release()
+                                jax.clear_caches()
                             chunk_labels[j] = "rife"
                             if "rife" not in mids_by:
                                 mids_by["rife"] = _rife_chunk(

@@ -160,6 +160,15 @@ class _VFIMambaSingleton:
             print("[VFIMamba] Model loaded")
         return cls._instance
 
+    @classmethod
+    def release(cls):
+        """Drop the instance (params + jitted apply) so a failed expert
+        doesn't keep its HBM footprint pinned: the r5d sweep's OOM'd
+        vfimamba apply left the chip too full for even a small
+        device_put, cascading into the rife fallback and the next
+        interval's upload."""
+        cls._instance = None
+
 
 def _vfimamba_interpolate(prev: np.ndarray, curr: np.ndarray, t: float):
     m = _VFIMambaSingleton.get()

@@ -267,16 +267,30 @@ _FULL = MambaConfig()
 _SMALL = MambaConfig(d_model=192, dt_rank=12, layers=10)
 
 
+#: Largest pixel area the S6 trunk processes natively. The selective scan
+#: materializes an h-tensor of ~[rows, 2·W/8, 2·d_model, d_state] f32 per
+#: block direction — ~8.4 GB peak at 1920×1080 but ~15 GB at 2560×1440,
+#: which only fits a 15.75 GB chip with nothing else resident (the r5d
+#: sweep OOM'd exactly there). Above the cap, inputs are area-downscaled
+#: for the net and the merged midpoints Lanczos-upscaled back — the
+#: degrade-don't-fail contract of the reference's scale knob
+#: (reference models/sota/safa_wrapper.py:133-137). The benchmark's 1080p
+#: triplets and all training crops sit under the cap and are unaffected.
+MAX_INTERNAL_AREA = 1920 * 1080
+
+
 class VFIMambaModel(BaseModel):
     """VFIMamba VFI model (reference vfimamba_wrapper.py contract)."""
 
-    def __init__(self, variant: str = "full", device: str = "tpu", seed: int = 0):
+    def __init__(self, variant: str = "full", device: str = "tpu", seed: int = 0,
+                 max_internal_area: Optional[int] = MAX_INTERNAL_AREA):
         super().__init__(device)
         self.variant = variant
         self.cfg = _FULL if variant == "full" else _SMALL
         self.seed = seed
         self.params = None
         self._apply = None
+        self.max_internal_area = max_internal_area
 
     @property
     def info(self) -> ModelInfo:
@@ -328,6 +342,20 @@ class VFIMambaModel(BaseModel):
 
     def interpolate_batch(self, x0, x1, timestamps):
         n, h, w, _ = x0.shape
+        cap = self.max_internal_area
+        if cap and h * w > cap:
+            # HBM guard: run the trunk at reduced internal resolution (see
+            # MAX_INTERNAL_AREA). Area-downscale matches the corpus degrade
+            # kernel; Lanczos4 upscale matches the sweep's SR kernel.
+            s = (cap / float(h * w)) ** 0.5
+            ih, iw = int(round(h * s)), int(round(w * s))
+            x0i = resize(x0, (ih, iw), "area")
+            x1i = resize(x1, (ih, iw), "area")
+            out = self.interpolate_batch(x0i, x1i, timestamps)  # [N,T,ih,iw,3]
+            t = len(timestamps)
+            flat = out.reshape(n * t, ih, iw, 3)
+            up = resize(flat, (h, w), "lanczos4")
+            return jnp.clip(up, 0.0, 1.0).reshape(n, t, h, w, 3)
         x0p, _ = pad_to_multiple(x0, 32)
         x1p, _ = pad_to_multiple(x1, 32)
         t = len(timestamps)
